@@ -1,0 +1,206 @@
+"""Ordering-sensitive rules: sequential numbering, monotone timestamps,
+role-transition grammar — with hot-key (hot-conversation) skew defused.
+
+Reference analogue: cross-chunk sequential row numbering
+(field.py:722-746 — ``current_row`` carried between chunks; missing /
+non-integer / non-sequential each an error) and the first-chunk format
+anchoring (field.py:1974-1978). The transcript north rule adds monotone
+``ts`` per ``conv_id`` and a role-sequence grammar.
+
+Scale design (the part a naive ``Window.partitionBy(conv_id)`` gets wrong):
+a single hot conversation with 10^8 turns would pin one task for the whole
+window. Every rule here therefore avoids un-bounded per-key windows:
+
+* ``sequential`` needs NO window at all: ``turn_idx`` per conversation is
+  exactly ``1..n`` iff ``min=1 AND max=n AND count=n AND count_distinct=n``.
+  That is a pure aggregation — map-side partial aggregation bounds shuffle
+  volume by the number of conversations, not turns.
+* ``monotone`` / ``transition_grammar`` need adjacency. Adjacency is computed
+  two-phase: rows are bucketed into fixed-size blocks of ``turn_idx``
+  (``block = floor(turn_idx / block_size)``), windows run inside
+  ``(conv_id, block)`` — bounded partitions regardless of conversation size —
+  and block boundaries are stitched with a per-block summary table
+  (``min_by``/``max_by``) that is smaller than the data by ``block_size``×.
+  This is the salting strategy BASELINE.json's north rule mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.engine.common import as_violations
+from safedata_validator_spark.rules.model import Rule
+
+DEFAULT_BLOCK_SIZE = 4096
+
+
+def adjacent_pairs(
+    df: DataFrame,
+    group: str,
+    order: str,
+    values: list[str],
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Attach ``__prev_<v>`` columns = the value of ``v`` on the previous row
+    (ordered by ``order`` within ``group``), without ever building a window
+    over a whole group.
+
+    Phase 1: ``lag`` inside ``(group, block)`` — partition size ≤ block_size.
+    Phase 2: block-head rows (``lag(order) IS NULL``, exactly one per block)
+    are joined to a per-block summary carrying the previous block's last
+    values; the summary window partitions by ``group`` but holds only
+    ``n/block_size`` rows, so a hot conversation contributes thousands of
+    summary rows, not millions of data rows, to a single task.
+
+    ``__prev_<order>`` is NULL exactly on the first row of each group.
+    """
+    carry = carry or []
+    block = F.floor(F.col(order).cast("long") / F.lit(block_size)).alias("__block")
+    base = df.select(group, order, *values, *carry, block)
+
+    w_in = Window.partitionBy(group, "__block").orderBy(F.col(order))
+    lagged = base.select(
+        "*",
+        F.lag(F.col(order)).over(w_in).alias(f"__prev_{order}"),
+        *[F.lag(F.col(v)).over(w_in).alias(f"__prev_{v}") for v in values],
+    )
+
+    heads = lagged.where(F.col(f"__prev_{order}").isNull())
+    body = lagged.where(F.col(f"__prev_{order}").isNotNull())
+
+    summ = base.groupBy(group, "__block").agg(
+        F.max(F.col(order)).alias("__last_ord"),
+        *[F.max_by(F.col(v), F.col(order)).alias(f"__lastv_{v}") for v in values],
+    )
+    w_blk = Window.partitionBy(group).orderBy("__block")
+    bounds = summ.select(
+        group,
+        "__block",
+        F.lag("__last_ord").over(w_blk).alias("__pb_ord"),
+        *[F.lag(f"__lastv_{v}").over(w_blk).alias(f"__pb_{v}") for v in values],
+    )
+
+    heads_fixed = (
+        heads.drop(f"__prev_{order}", *[f"__prev_{v}" for v in values])
+        .join(bounds, on=[group, "__block"], how="left")
+        .select(
+            group,
+            order,
+            *values,
+            *carry,
+            "__block",
+            F.col("__pb_ord").alias(f"__prev_{order}"),
+            *[F.col(f"__pb_{v}").alias(f"__prev_{v}") for v in values],
+        )
+    )
+    cols = [group, order, *values, *carry, "__block", f"__prev_{order}", *[f"__prev_{v}" for v in values]]
+    return body.select(*cols).unionByName(heads_fixed.select(*cols))
+
+
+def eval_sequential(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """turn_idx per conv_id must be exactly 1..n consecutive.
+
+    params: group (default first key col), order (default 'turn_idx'),
+    start (default 1). Pure aggregation: {1..n} ⟺ min=start ∧
+    max=start+n-1 ∧ count=n ∧ distinct=n. One violation row per bad group
+    with diagnostic counts (the reference reports per-row errors but counts
+    at sheet level, field.py:779-790; counts are the contract here).
+    """
+    group = rule.params.get("group", ruleset.key_cols[0])
+    order = rule.params.get("order", rule.column or "turn_idx")
+    start = int(rule.params.get("start", 1))
+    scope = F.expr(ruleset.scope)
+
+    agg = df.groupBy(F.col(group), scope.alias("__scope")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.col(order)).alias("__n_nonnull"),
+        F.min(order).alias("__min"),
+        F.max(order).alias("__max"),
+        F.count_distinct(F.col(order)).alias("__nd"),
+    )
+    ok = (
+        (F.col("__n") == F.col("__n_nonnull"))
+        & (F.col("__min") == start)
+        & (F.col("__max") == F.col("__n") + (start - 1))
+        & (F.col("__nd") == F.col("__n"))
+    )
+    bad = agg.where(~ok)
+    msg = F.concat(
+        F.lit(f"{order} not consecutive from {start}: n="),
+        F.col("__n").cast("string"),
+        F.lit(" nulls="),
+        (F.col("__n") - F.col("__n_nonnull")).cast("string"),
+        F.lit(" min="),
+        F.coalesce(F.col("__min").cast("string"), F.lit("∅")),
+        F.lit(" max="),
+        F.coalesce(F.col("__max").cast("string"), F.lit("∅")),
+        F.lit(" distinct="),
+        F.col("__nd").cast("string"),
+    )
+    entity = F.concat(F.lit(f"{group}="), F.col(group).cast("string"))
+    return as_violations(bad, rule, F.col("__scope"), entity, F.col("__n"), msg, column=order)
+
+
+def eval_monotone(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """Column must be non-decreasing (or 'increasing') in ``order`` within
+    ``group``. params: group, order, direction, block_size."""
+    group = rule.params.get("group", ruleset.key_cols[0])
+    order = rule.params.get("order", "turn_idx")
+    col = rule.column
+    strict = rule.params.get("direction", "non_decreasing") == "increasing"
+    block_size = int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE))
+    scope_col = F.expr(ruleset.scope).alias("__scope")
+
+    pairs = adjacent_pairs(
+        df.select(group, order, col, scope_col), group, order, [col], block_size, carry=["__scope"]
+    )
+    prev = F.col(f"__prev_{col}")
+    cur = F.col(col)
+    viol = prev.isNotNull() & cur.isNotNull() & ((cur <= prev) if strict else (cur < prev))
+    bad = pairs.where(viol)
+    entity = F.concat(
+        F.lit(f"{group}="), F.col(group).cast("string"), F.lit(f"/{order}="), F.col(order).cast("string")
+    )
+    msg = F.concat(
+        F.lit(f"{col} decreased: "), prev.cast("string"), F.lit(" → "), cur.cast("string")
+    )
+    return as_violations(bad, rule, F.col("__scope"), entity, cur, msg)
+
+
+def eval_transition_grammar(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """Role-sequence grammar: each adjacent (prev, cur) pair within a
+    conversation must be in the declared transition set; the first turn's
+    role must be in ``allowed_start``.
+
+    params: group, order, transitions: list[[from,to]], allowed_start:
+    list[str], block_size. Compiled to an ``isin`` over 'from→to' literals
+    (transition alphabets are tiny), staying fully inside codegen — no join.
+    """
+    group = rule.params.get("group", ruleset.key_cols[0])
+    order = rule.params.get("order", "turn_idx")
+    col = rule.column
+    transitions = [f"{a}→{b}" for a, b in rule.params["transitions"]]
+    allowed_start = list(rule.params.get("allowed_start", []))
+    block_size = int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE))
+    scope_col = F.expr(ruleset.scope).alias("__scope")
+
+    pairs = adjacent_pairs(
+        df.select(group, order, col, scope_col), group, order, [col], block_size, carry=["__scope"]
+    )
+    prev = F.col(f"__prev_{col}")
+    cur = F.col(col)
+    edge = F.concat_ws("→", prev, cur)
+    is_start = F.col(f"__prev_{order}").isNull()
+    viol = F.when(is_start, ~cur.isin(allowed_start) if allowed_start else F.lit(False)).otherwise(
+        ~edge.isin(transitions)
+    )
+    bad = pairs.where(F.coalesce(viol, F.lit(True)))
+    entity = F.concat(
+        F.lit(f"{group}="), F.col(group).cast("string"), F.lit(f"/{order}="), F.col(order).cast("string")
+    )
+    msg = F.when(is_start, F.concat(F.lit("bad opening role: "), F.coalesce(cur, F.lit("∅")))).otherwise(
+        F.concat(F.lit("forbidden transition: "), F.coalesce(prev, F.lit("∅")), F.lit(" → "), F.coalesce(cur, F.lit("∅")))
+    )
+    return as_violations(bad, rule, F.col("__scope"), entity, cur, msg)

@@ -1,0 +1,122 @@
+"""Single-scan per-column statistics profiler.
+
+Reference analogue: every ``BaseField`` accumulates n_rows / n_na / n_blank /
+n_excel_error plus per-type min/max across chunks in one pass
+(field.py:1361-1415, counters field.py:1010-1016, extent fold
+field.py:1821-1831 / 2120-2131). The north rule upgrades this to "a single
+scan per partition producing per-column stat sketches (count / null /
+distinct via HyperLogLog, min/max, numeric moments, t-digest quantiles)
+merged treewise".
+
+Spark-first realisation: ALL metrics for ALL columns are compiled into ONE
+``groupBy(scope).agg(...)`` — Catalyst computes them in a single pass with
+map-side partial aggregation, which *is* the treewise sketch merge
+(HyperLogLog++ for approx distinct, Greenwald-Khanna/KLL for
+percentile_approx are associative sketches). The wide one-row-per-scope
+result is then unpivoted driver-free into a long (scope, column, metric...)
+DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, NUMERIC_TYPES)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    scope: str = "'all'",
+    approx_distinct: bool = True,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    na_sentinel: str = "NA",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """One-scan profile → long DataFrame:
+
+    (scope, column, n, n_null, n_blank, n_na, n_distinct,
+     min_value, max_value, mean, stddev, quantiles array<double>)
+
+    ``n_blank``/``n_na`` apply to string columns (reference blank/NA counters,
+    field.py:1435-1442); ``mean``/``stddev``/``quantiles`` to numeric columns;
+    timestamps profile min/max (temporal extents, field.py:2120-2131).
+    ``approx_distinct=False`` switches HLL to exact count_distinct — used by
+    the DuckDB-oracle correctness gate; production keeps the sketch.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = columns or list(fields)
+
+    aggs = []
+    for c in columns:
+        dt = fields[c]
+        col = F.col(c)
+        is_str = isinstance(dt, T.StringType)
+        is_num = _is_numeric(dt)
+
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"))
+        if is_str:
+            aggs.append(
+                F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)).alias(
+                    f"{c}__n_blank"
+                )
+            )
+            aggs.append(F.sum(F.when(col == na_sentinel, 1).otherwise(0)).alias(f"{c}__n_na"))
+        else:
+            aggs.append(F.lit(0).cast("long").alias(f"{c}__n_blank"))
+            aggs.append(F.lit(0).cast("long").alias(f"{c}__n_na"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
+        else:
+            aggs.append(F.count_distinct(col).alias(f"{c}__n_distinct"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if is_num:
+            aggs.append(F.avg(col.cast("double")).alias(f"{c}__mean"))
+            aggs.append(F.stddev_samp(col.cast("double")).alias(f"{c}__stddev"))
+            aggs.append(
+                F.percentile_approx(
+                    col.cast("double"), F.array(*[F.lit(q) for q in quantiles]), int(1.0 / relative_error)
+                ).alias(f"{c}__quantiles")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__stddev"))
+            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+
+    wide = df.groupBy(F.expr(scope).cast("string").alias("scope")).agg(*aggs)
+
+    per_col_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_blank").alias("n_blank"),
+                F.col(f"{c}__n_na").alias("n_na"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__stddev").alias("stddev"),
+                F.col(f"{c}__quantiles").alias("quantiles"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select("scope", F.explode(per_col_structs).alias("s")).select("scope", "s.*")

@@ -1,0 +1,133 @@
+"""Unit tests per compiled rule expression on tiny DataFrames — the analogue
+of the reference's log-assertion unit tests (test/test_validators.py,
+test/test_field.py): assert on violation rows instead of log text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.engine.validator import ValidationEngine
+from safedata_validator_spark.rules.model import ERROR, WARNING, Rule, RuleSet
+
+ENGINE = ValidationEngine()
+
+
+def _ruleset(*rules, key_cols=None):
+    return RuleSet(name="t", rules=list(rules), key_cols=key_cols or ["id"])
+
+
+def _viols(spark, data, ddl, *rules, key_cols=None):
+    df = spark.createDataFrame(data, ddl)
+    rs = _ruleset(*rules, key_cols=key_cols)
+    return ENGINE.violations(df, rs).collect()
+
+
+def test_not_blank(spark):
+    got = _viols(
+        spark,
+        [(1, "ok"), (2, None), (3, ""), (4, "   "), (5, "x")],
+        "id int, v string",
+        Rule("r", "not_blank", column="v"),
+    )
+    assert sorted(v["entity"] for v in got) == ["id=2", "id=3", "id=4"]
+    assert all(v["severity"] == ERROR and v["rule_id"] == "r" for v in got)
+
+
+def test_not_na_and_excel_error(spark):
+    got = _viols(
+        spark,
+        [(1, "NA"), (2, "na"), (3, "#DIV/0!"), (4, "fine")],
+        "id int, v string",
+        Rule("na", "not_na", column="v", severity=WARNING),
+        Rule("xl", "no_excel_error", column="v"),
+    )
+    by_rule = {(v["rule_id"], v["entity"]) for v in got}
+    assert by_rule == {("na", "id=1"), ("xl", "id=3")}
+
+
+def test_not_padded(spark):
+    got = _viols(
+        spark,
+        [(1, " x"), (2, "x "), (3, "x"), (4, None), (5, " ")],
+        "id int, v string",
+        Rule("r", "not_padded", column="v"),
+    )
+    # ' ' trims to '' ≠ ' ' → padded too (blankness is a separate rule)
+    assert sorted(v["entity"] for v in got) == ["id=1", "id=2", "id=5"]
+
+
+def test_in_levels(spark):
+    got = _viols(
+        spark,
+        [(1, "a"), (2, "b"), (3, "C"), (4, None)],
+        "id int, v string",
+        Rule("r", "in_levels", column="v", params={"levels": ["a", "b"]}),
+    )
+    assert sorted(v["entity"] for v in got) == ["id=3", "id=4"]
+    got2 = _viols(
+        spark,
+        [(4, None)],
+        "id int, v string",
+        Rule("r", "in_levels", column="v", params={"levels": ["a"], "allow_null": True}),
+    )
+    assert got2 == []
+
+
+def test_pattern_and_numeric_string(spark):
+    got = _viols(
+        spark,
+        [(1, "a,b"), (2, "ab"), (3, "12.5"), (4, "x2")],
+        "id int, v string",
+        Rule("punct", "pattern", column="v", params={"regex": "[,;:]", "negate": True}),
+        Rule("num", "numeric_string", column="v", severity=WARNING),
+    )
+    by_rule = {(v["rule_id"], v["entity"]) for v in got}
+    assert by_rule == {("punct", "id=1"), ("num", "id=3")}
+
+
+def test_castable_and_bounds(spark):
+    got = _viols(
+        spark,
+        [(1, "2024-01-01", 5.0), (2, "not a date", 50.0), (3, None, -1.0)],
+        "id int, d string, x double",
+        Rule("cast", "castable", column="d", params={"to": "date"}),
+        Rule("b", "bounds", column="x", params={"lo": 0.0, "hi": 10.0}),
+    )
+    by_rule = {(v["rule_id"], v["entity"]) for v in got}
+    assert by_rule == {("cast", "id=2"), ("b", "id=2"), ("b", "id=3")}
+
+
+def test_expr_rule(spark):
+    got = _viols(
+        spark,
+        [(1, "tool", "bash"), (2, "user", "bash"), (3, "user", None)],
+        "id int, role string, tool string",
+        Rule("r", "expr", column="tool",
+             params={"sql": "tool IS NULL OR role = 'tool'", "message": "bad tool turn"}),
+    )
+    assert [v["entity"] for v in got] == ["id=2"]
+    assert got[0]["message"] == "bad tool turn"
+
+
+def test_lint_rejects_unknown(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    rs = _ruleset(Rule("r", "no_such_type", column="id"))
+    try:
+        ENGINE.violations(df, rs)
+        raise AssertionError("expected lint failure")
+    except ValueError as e:
+        assert "no_such_type" in str(e)
+
+
+def test_verdicts_zero_fill(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id int, v string")
+    rs = _ruleset(
+        Rule("blank", "not_blank", column="v"),
+        Rule("na", "not_na", column="v", severity=WARNING),
+    )
+    res = ENGINE.validate(df, rs, with_stats=False)
+    verd = {r["rule_id"]: r for r in res.verdicts.collect()}
+    assert verd["blank"]["n_failed"] == 1 and not verd["blank"]["passed"]
+    assert verd["na"]["n_failed"] == 0 and verd["na"]["passed"]
+    assert verd["na"]["n_rows"] == 2
+    assert not res.passed()
