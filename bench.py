@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the transcript
+validation engine at a scale proportional to the sf. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}.
+
+Materialisation uses the noop sink (full computation, no output cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "profile_lineitem",
+    "sequential_lineitem",
+    "unique_key_orders",
+    "ref_integrity_events",
+    "monotone_events",
+    "grammar_events",
+    "drift_psi_lineitem",
+    "pricing_summary",
+    "top_revenue_orders",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "embedding_topk",
+    "lsh_ann_topk",
+]
+
+#: transcript-validation bench size per scale factor (turns)
+TURNS_PER_SF = 40_000_000  # sf0.1 → 4M turns, sf1 → 40M
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run(spark, sf_dir: str, sf: float) -> dict:
+    from safedata_validator_spark.data.synth import dims, transcripts_scaled
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.queries import QUERIES
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # The synthetic input is NOT cached: the generator is deterministic
+    # column math, recomputed identically per scan (and large inputs must
+    # not be pinned in this VM's modest heap — see bench_scaling.py notes).
+    n_turns = max(int(TURNS_PER_SF * sf), 100_000)
+    df = transcripts_scaled(spark, n_turns)
+    engine = ValidationEngine()
+    rs = transcript_ruleset()
+    d = dims(spark)
+    t0 = time.perf_counter()
+    res = engine.validate(df, rs, d, with_stats=True)
+    res.violations.persist()
+    materialize(res.violations)  # verdicts reuse the cached violations
+    materialize(res.verdicts)
+    materialize(res.stats)
+    dt = time.perf_counter() - t0
+    timings["transcript_validate"] = round(dt, 3)
+    return {"timings": timings, "n_turns": n_turns, "validate_sec": dt}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+
+    from safedata_validator_spark.session import build_session
+
+    spark = build_session(
+        app_name="sdv-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    out = run(spark, sf_dir, sf)
+    total = round(sum(out["timings"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": out["timings"],
+                "sf": sf,
+                "turns_per_sec": round(out["n_turns"] / out["validate_sec"], 1),
+                "validated_turns": out["n_turns"],
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

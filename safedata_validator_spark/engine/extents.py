@@ -18,6 +18,44 @@ from safedata_validator_spark.engine.common import as_violations
 from safedata_validator_spark.rules.model import Rule
 
 
+def eval_extents_fused(df: DataFrame, rules: list[Rule], ruleset) -> list[DataFrame]:
+    """ALL extent rules in ONE agg: min/max of every referenced column in a
+    single scan (the fold is associative; partial aggregation merges
+    treewise), then each rule's bound predicate filters the one-row-per-scope
+    aggregate. The validator routes every extent rule here."""
+    scope = F.expr(ruleset.scope)
+    cols = sorted({r.column for r in rules})
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"), F.count(c).alias(f"__n_{c}")]
+    agg = df.groupBy(scope.alias("__scope")).agg(*aggs)
+
+    out = []
+    for rule in rules:
+        c = rule.column
+        lo = rule.params.get("lo")
+        hi = rule.params.get("hi")
+        breach = F.lit(False)
+        if lo is not None:
+            breach = breach | (F.col(f"__min_{c}") < F.lit(lo))
+        if hi is not None:
+            breach = breach | (F.col(f"__max_{c}") >= F.lit(hi))
+        bad = agg.where(F.col(f"__n_{c}") > 0).where(breach)
+        msg = F.concat(
+            F.lit(f"{c} extent ["),
+            F.col(f"__min_{c}").cast("string"),
+            F.lit(", "),
+            F.col(f"__max_{c}").cast("string"),
+            F.lit(f"] breaches bounds [{lo}, {hi})"),
+        )
+        entity = F.concat(F.lit("scope="), F.col("__scope").cast("string"))
+        value = F.concat(
+            F.col(f"__min_{c}").cast("string"), F.lit(".."), F.col(f"__max_{c}").cast("string")
+        )
+        out.append(as_violations(bad, rule, F.col("__scope"), entity, value, msg))
+    return out
+
+
 def eval_extent(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """params: lo / hi (hard bounds, inclusive-lo / exclusive-hi) — violation
     at rule.severity when the observed extent crosses them. Use two extent

@@ -99,26 +99,41 @@ def adjacent_pairs(
     return body.select(*cols).unionByName(heads_fixed.select(*cols))
 
 
+def key_counts(df: DataFrame, group: str, order: str, scope_expr: str) -> DataFrame:
+    """Level-1 aggregation shared by the sequential and unique_key rules:
+    occurrence count per (group, order, scope) key. One shuffle whose volume
+    is bounded by distinct keys (map-side combine collapses duplicates before
+    the exchange). When both rules derive from the SAME key_counts plan,
+    Spark's ReuseExchange runs the shuffle once for the whole violations
+    union — the validator relies on this for rule fusion."""
+    scope = F.expr(scope_expr)
+    return df.groupBy(F.col(group), F.col(order), scope.alias("__scope")).agg(
+        F.count(F.lit(1)).alias("__dup_n")
+    )
+
+
 def eval_sequential(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """turn_idx per conv_id must be exactly 1..n consecutive.
 
     params: group (default first key col), order (default 'turn_idx'),
-    start (default 1). Pure aggregation: {1..n} ⟺ min=start ∧
-    max=start+n-1 ∧ count=n ∧ distinct=n. One violation row per bad group
-    with diagnostic counts (the reference reports per-row errors but counts
-    at sheet level, field.py:779-790; counts are the contract here).
-    """
+    start (default 1). Pure aggregation — NO window: {1..n} ⟺ min=start ∧
+    max=start+n-1 ∧ count=n ∧ distinct=n, where the distinct count is free
+    (it is the level-1 row count, no distinct aggregate). One violation row
+    per bad group with diagnostic counts (the reference reports per-row
+    errors but counts at sheet level, field.py:779-790)."""
     group = rule.params.get("group", ruleset.key_cols[0])
     order = rule.params.get("order", rule.column or "turn_idx")
-    start = int(rule.params.get("start", 1))
-    scope = F.expr(ruleset.scope)
+    return sequential_from_counts(key_counts(df, group, order, ruleset.scope), rule, group, order)
 
-    agg = df.groupBy(F.col(group), scope.alias("__scope")).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.count(F.col(order)).alias("__n_nonnull"),
+
+def sequential_from_counts(counts: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
+    start = int(rule.params.get("start", 1))
+    agg = counts.groupBy(group, "__scope").agg(
+        F.sum("__dup_n").alias("__n"),
+        F.sum(F.when(F.col(order).isNotNull(), F.col("__dup_n")).otherwise(0)).alias("__n_nonnull"),
         F.min(order).alias("__min"),
         F.max(order).alias("__max"),
-        F.count_distinct(F.col(order)).alias("__nd"),
+        F.count(F.col(order)).alias("__nd"),
     )
     ok = (
         (F.col("__n") == F.col("__n_nonnull"))
@@ -143,19 +158,76 @@ def eval_sequential(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     return as_violations(bad, rule, F.col("__scope"), entity, F.col("__n"), msg, column=order)
 
 
+def adjacent_pairs_join(
+    df: DataFrame, group: str, order: str, values: list[str], carry: list[str] | None = None
+) -> DataFrame:
+    """Adjacency via a self equi-join on (group, order-1): row t is matched
+    with row t-1. Requires a DENSE integer ``order`` (1..n per group — which
+    the sequential rule owns and asserts); rows whose predecessor index is
+    absent keep NULL ``__prev_*`` columns.
+
+    Scale shape: ONE hash-partitioned join keyed on (group, order) — no sort,
+    no window, and NO hot-key skew at all, because the join key includes the
+    order column, so a 10^8-turn conversation spreads uniformly over all
+    partitions. This is strictly better than windowing whenever density
+    holds; the window/block method (adjacent_pairs) remains for arbitrary
+    orders."""
+    carry = carry or []
+    lhs = df.select(group, order, *values, *carry)
+    rhs = df.select(
+        F.col(group),
+        (F.col(order) + 1).alias(order),
+        F.col(order).alias(f"__prev_{order}"),
+        *[F.col(v).alias(f"__prev_{v}") for v in values],
+    )
+    # No join hint: sort-merge spills safely at any partition size. A
+    # SHUFFLE_HASH hint is ~2× faster when partitions fit in memory but
+    # builds a NON-SPILLABLE per-task hash map — measured to OOM once
+    # partitions exceed a few million rows — so the safe default wins;
+    # partition sizing (shuffle.partitions / AQE) recovers the throughput.
+    return lhs.join(rhs, on=[group, order], how="left")
+
+
+def rule_pair_key(rule: Rule, ruleset) -> tuple:
+    """Fusion key: adjacency rules sharing (group, order, method, block_size)
+    are evaluated from ONE shared pairs plan (the validator groups rules by
+    this key; identical subplans collapse via ReuseExchange)."""
+    return (
+        rule.params.get("group", ruleset.key_cols[0]),
+        rule.params.get("order", "turn_idx"),
+        rule.params.get("adjacency", "join"),
+        int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE)),
+    )
+
+
+def build_pairs(
+    df: DataFrame,
+    ruleset,
+    group: str,
+    order: str,
+    value_cols: list[str],
+    block_size: int,
+    method: str = "join",
+) -> DataFrame:
+    scope_col = F.expr(ruleset.scope).alias("__scope")
+    base = df.select(group, order, *value_cols, scope_col)
+    if method == "join":
+        return adjacent_pairs_join(base, group, order, value_cols, carry=["__scope"])
+    return adjacent_pairs(base, group, order, value_cols, block_size, carry=["__scope"])
+
+
 def eval_monotone(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """Column must be non-decreasing (or 'increasing') in ``order`` within
-    ``group``. params: group, order, direction, block_size."""
-    group = rule.params.get("group", ruleset.key_cols[0])
-    order = rule.params.get("order", "turn_idx")
+    ``group``. params: group, order, direction, adjacency (join|window),
+    block_size."""
+    group, order, method, block_size = rule_pair_key(rule, ruleset)
+    pairs = build_pairs(df, ruleset, group, order, [rule.column], block_size, method)
+    return monotone_from_pairs(pairs, rule, group, order)
+
+
+def monotone_from_pairs(pairs: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
     col = rule.column
     strict = rule.params.get("direction", "non_decreasing") == "increasing"
-    block_size = int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE))
-    scope_col = F.expr(ruleset.scope).alias("__scope")
-
-    pairs = adjacent_pairs(
-        df.select(group, order, col, scope_col), group, order, [col], block_size, carry=["__scope"]
-    )
     prev = F.col(f"__prev_{col}")
     cur = F.col(col)
     viol = prev.isNotNull() & cur.isNotNull() & ((cur <= prev) if strict else (cur < prev))
@@ -175,26 +247,30 @@ def eval_transition_grammar(df: DataFrame, rule: Rule, ruleset, dims) -> DataFra
     role must be in ``allowed_start``.
 
     params: group, order, transitions: list[[from,to]], allowed_start:
-    list[str], block_size. Compiled to an ``isin`` over 'from→to' literals
-    (transition alphabets are tiny), staying fully inside codegen — no join.
+    list[str], start (first index, default 1), adjacency, block_size.
+    Compiled to an ``isin`` over 'from→to' literals (transition alphabets are
+    tiny), staying fully inside codegen — no join for the membership test.
     """
-    group = rule.params.get("group", ruleset.key_cols[0])
-    order = rule.params.get("order", "turn_idx")
+    group, order, method, block_size = rule_pair_key(rule, ruleset)
+    pairs = build_pairs(df, ruleset, group, order, [rule.column], block_size, method)
+    return grammar_from_pairs(pairs, rule, group, order)
+
+
+def grammar_from_pairs(pairs: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
     col = rule.column
     transitions = [f"{a}→{b}" for a, b in rule.params["transitions"]]
     allowed_start = list(rule.params.get("allowed_start", []))
-    block_size = int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE))
-    scope_col = F.expr(ruleset.scope).alias("__scope")
-
-    pairs = adjacent_pairs(
-        df.select(group, order, col, scope_col), group, order, [col], block_size, carry=["__scope"]
-    )
+    start = int(rule.params.get("start", 1))
     prev = F.col(f"__prev_{col}")
     cur = F.col(col)
     edge = F.concat_ws("→", prev, cur)
-    is_start = F.col(f"__prev_{order}").isNull()
-    viol = F.when(is_start, ~cur.isin(allowed_start) if allowed_start else F.lit(False)).otherwise(
-        ~edge.isin(transitions)
+    is_start = F.col(order) == start
+    # a missing predecessor that is NOT the opening turn is a sequence gap —
+    # owned (and reported) by the sequential rule, not double-reported here
+    viol = (
+        F.when(is_start, ~cur.isin(allowed_start) if allowed_start else F.lit(False))
+        .when(F.col(f"__prev_{order}").isNull(), F.lit(False))
+        .otherwise(~edge.isin(transitions))
     )
     bad = pairs.where(F.coalesce(viol, F.lit(True)))
     entity = F.concat(

@@ -156,7 +156,9 @@ def eval_levels_audit(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
         F.concat(F.lit("undeclared level ("), F.col("__n").cast("string"), F.lit(" rows)")),
     )
 
-    scopes = df.select(scope.alias("__scope")).distinct()
+    # scopes derived from the aggregated side — no second scan of the fact
+    # table (a scope whose column is entirely NULL has nothing to audit)
+    scopes = used.select("__scope").distinct()
     declared_per_scope = scopes.crossJoin(F.broadcast(levels_df)).select(
         "__scope", F.col(f"{col}_level").alias("__val")
     )

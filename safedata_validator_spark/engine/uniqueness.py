@@ -19,6 +19,27 @@ from safedata_validator_spark.engine.common import as_violations
 from safedata_validator_spark.rules.model import Rule
 
 
+def unique_from_counts(counts: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
+    """Duplicate-key violations derived from a shared ordering.key_counts
+    plan — the validator routes (group, order)-shaped unique_key rules here
+    so the shuffle is reused (ReuseExchange) with the sequential rule."""
+    dupes = counts.where(F.col("__dup_n") > 1)
+    entity = F.concat_ws(
+        "/",
+        F.concat(F.lit(f"{group}="), F.coalesce(F.col(group).cast("string"), F.lit("∅"))),
+        F.concat(F.lit(f"{order}="), F.coalesce(F.col(order).cast("string"), F.lit("∅"))),
+    )
+    return as_violations(
+        dupes,
+        rule,
+        scope=F.col("__scope"),
+        entity=entity,
+        value=F.col("__dup_n"),
+        message=F.concat(F.lit("duplicate key: "), F.col("__dup_n").cast("string"), F.lit(" occurrences")),
+        column=f"{group},{order}",
+    )
+
+
 def eval_unique_key(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """params: keys: list[str] (defaults to ruleset.key_cols)."""
     keys = list(rule.params.get("keys", ruleset.key_cols))

@@ -101,11 +101,78 @@ class ValidationEngine:
         parts: list[DataFrame] = []
         if row_rules:
             parts.append(self._row_violations(df, ruleset, row_rules))
-        for rule in plan_rules:
-            parts.append(registry.PLAN_EVALUATORS[rule.rule_type](df, rule, ruleset, dims))
+        parts.extend(self._plan_violations(df, ruleset, plan_rules, dims))
         if not parts:
             return empty_violations(df.sparkSession)
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _plan_violations(
+        self, df: DataFrame, ruleset: RuleSet, plan_rules: list[Rule], dims: dict
+    ) -> list[DataFrame]:
+        """Evaluate plan-level rules with cross-rule fusion. Rules that share
+        a relational shape share ONE pass over the data:
+
+        * monotone + transition_grammar with the same (group, order,
+          block_size) share one adjacent-pairs plan (one bounded window + one
+          boundary stitch for all of them);
+        * sequential + unique_key over (group, order) share one level-1
+          key-count aggregation (the identical exchange is executed once via
+          Spark's ReuseExchange);
+        * ALL extent rules fold into one min/max agg.
+
+        At 10^12 rows the scan/shuffle count, not expression work, dominates
+        cost — this is the engine's equivalent of the reference's single-pass
+        multi-statistic design (field.py:1361-1415), applied across rules.
+        """
+        from collections import defaultdict
+
+        from safedata_validator_spark.engine import extents, ordering, uniqueness
+
+        parts: list[DataFrame] = []
+        handled: set[int] = set()
+
+        # -- adjacency fusion ------------------------------------------------
+        adj = [r for r in plan_rules if r.rule_type in ("monotone", "transition_grammar")]
+        by_key: dict[tuple, list[Rule]] = defaultdict(list)
+        for r in adj:
+            by_key[ordering.rule_pair_key(r, ruleset)].append(r)
+        for (group, order, method, block_size), rules in by_key.items():
+            values = sorted({r.column for r in rules})
+            pairs = ordering.build_pairs(df, ruleset, group, order, values, block_size, method)
+            for r in rules:
+                fn = (
+                    ordering.monotone_from_pairs
+                    if r.rule_type == "monotone"
+                    else ordering.grammar_from_pairs
+                )
+                parts.append(fn(pairs, r, group, order))
+                handled.add(id(r))
+
+        # -- sequential + unique_key fusion -----------------------------------
+        seq_rules = [r for r in plan_rules if r.rule_type == "sequential"]
+        uniq_rules = [r for r in plan_rules if r.rule_type == "unique_key"]
+        for sr in seq_rules:
+            group = sr.params.get("group", ruleset.key_cols[0])
+            order = sr.params.get("order", sr.column or "turn_idx")
+            counts = ordering.key_counts(df, group, order, ruleset.scope)
+            parts.append(ordering.sequential_from_counts(counts, sr, group, order))
+            handled.add(id(sr))
+            for ur in uniq_rules:
+                if id(ur) not in handled and list(ur.params.get("keys", ruleset.key_cols)) == [group, order]:
+                    parts.append(uniqueness.unique_from_counts(counts, ur, group, order))
+                    handled.add(id(ur))
+
+        # -- extent fusion -----------------------------------------------------
+        extent_rules = [r for r in plan_rules if r.rule_type == "extent"]
+        if extent_rules:
+            parts.extend(extents.eval_extents_fused(df, extent_rules, ruleset))
+            handled.update(id(r) for r in extent_rules)
+
+        # -- everything else through the registry ------------------------------
+        for rule in plan_rules:
+            if id(rule) not in handled:
+                parts.append(registry.PLAN_EVALUATORS[rule.rule_type](df, rule, ruleset, dims))
+        return parts
 
     def verdicts(self, df: DataFrame, ruleset: RuleSet, violations: DataFrame) -> DataFrame:
         """(scope, rule_id, severity, n_rows, n_failed, passed) — one row per

@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard (shingle self-join), MinHash+LSH
+(shingle → minhash signature → band buckets → bucket join → exact verify),
+SimHash (token bit-vote → hamming buckets), and embedding-cosine near-dup
+(see functions.similarity).
+
+Scale notes:
+* Exact dedup is one groupBy on a 64-bit fingerprint — shuffle volume is
+  bounded by distinct fingerprints (map-side combine collapses repeats).
+* Jaccard self-join explodes shingles; ``max_df`` drops ubiquitous shingles
+  (stopword runs) whose buckets would be quadratic — the standard
+  frequency-cut used by large-corpus dedup pipelines.
+* MinHash/LSH replaces the all-pairs join with per-band bucket joins:
+  candidates are only pairs agreeing on at least one band, then exact
+  Jaccard verifies them. False negatives are bounded by the usual
+  (1-s^r)^b curve; verification removes false positives.
+* All hashing is xxhash64 with literal seeds — deterministic, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.functions.text import fingerprint64, normalize_text
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates (after normalisation) →
+    (fingerprint, keep_id, n_dups, member_ids). ``keep_id`` = min id."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint64(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥
+    threshold → (id_a, id_b, n_common, n_a, n_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signature per document: num_perm independent min-hashes of the
+    shingle set, computed as ONE aggregation (num_perm min() columns over the
+    exploded shingles — partial aggregation keeps the shuffle at
+    |docs| × num_perm, not |shingles|)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures and bucket-join: pairs agreeing on ≥1 band.
+    → (id_a, id_b) distinct."""
+    num_perm = len(signatures.select("signature").first()["signature"])
+    rows_per_band = num_perm // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banded signatures,
+    verified with exact Jaccard over the shingle sets →
+    (id_a, id_b, jaccard). Only candidate pairs are verified — the exact
+    join runs on the (small) candidate set, not all pairs."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cand = lsh_candidate_pairs(sig, bands)
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sa"), "id_a")
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sb"),
+            "id_b",
+        )
+        .where(F.col("sa") == F.col("sb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on each bit of its
+    hash; the signature is the sign vector. One explode + one aggregation
+    with 64 sum() columns (all JVM-side bit arithmetic) → (id, simhash)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{bit}")
+            for bit in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found with
+    the pigeonhole trick: split the 64-bit signature into ``chunks`` pieces —
+    any pair within distance < chunks must agree exactly on ≥1 piece, so
+    bucket-join on each piece and verify with bit_count(xor).
+    → (id_a, id_b, hamming)."""
+    sig = simhash64(df, id_col, text_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("piece"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "simhash", F.col("p.piece").alias("piece"), F.col("p.val").alias("val"))
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

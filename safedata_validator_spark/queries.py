@@ -1,0 +1,785 @@
+"""Driver-contract query catalog: one entry per operator family from
+SURVEY.md §2, each expressed Spark-first over the testdata tables, with a
+DuckDB-runnable ANSI-SQL oracle producing identical columns.
+
+Determinism rules used throughout (so Spark and DuckDB value-hashes match):
+* money aggregates go through DECIMAL(18,2) partial sums (exact, order-free)
+  and are finalised as DOUBLE;
+* means/stddevs are computed from exact decimal sums + counts in double,
+  never via order-dependent streaming aggregates;
+* every window order has a unique tie-break key;
+* floats that cross engines are round()ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.functions import dedup as dd
+from safedata_validator_spark.functions import similarity as sim
+from safedata_validator_spark.functions import text as tx
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(18,2)"
+
+# --------------------------------------------------------------------------
+# 1. Single-scan column profile (SURVEY §2.4 A1/A2, north-rule stat sketches)
+# --------------------------------------------------------------------------
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column stats in ONE scan: count/nulls/distinct/min/max/mean/stddev.
+    Decimal partial sums make mean/stddev order-independent (exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def stats(c: str):
+        x = F.col(c)
+        xd = x.cast(DEC)
+        n = F.count(x)
+        s1 = F.sum(xd)
+        s2 = F.sum((xd * xd).cast("decimal(38,4)"))
+        mean = (s1.cast("double") / n)
+        var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (n - 1)
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - n).alias("n_null"),
+            F.count_distinct(x).alias("n_distinct"),
+            F.min(x).cast("double").alias("min_value"),
+            F.max(x).cast("double").alias("max_value"),
+            F.round(mean, 6).alias("mean_value"),
+            F.round(F.sqrt(var), 6).alias("stddev_value"),
+        )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    wide = li.agg(*[stats(c).alias(f"__s_{c}") for c in cols])
+    return (
+        wide.select(F.explode(F.array(*[F.col(f"__s_{c}") for c in cols])).alias("s"))
+        .select("s.*")
+    )
+
+
+SQL_PROFILE_LINEITEM = """
+WITH s AS (
+  SELECT
+    unnest(['l_quantity','l_extendedprice','l_discount']) AS column_name,
+    unnest([count(l_quantity), count(l_extendedprice), count(l_discount)]) AS n,
+    unnest([count(DISTINCT l_quantity), count(DISTINCT l_extendedprice), count(DISTINCT l_discount)]) AS nd,
+    unnest([min(l_quantity), min(l_extendedprice), min(l_discount)]) AS mn,
+    unnest([max(l_quantity), max(l_extendedprice), max(l_discount)]) AS mx,
+    unnest([sum(CAST(l_quantity AS DECIMAL(18,2))), sum(CAST(l_extendedprice AS DECIMAL(18,2))), sum(CAST(l_discount AS DECIMAL(18,2)))]) AS s1,
+    unnest([sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))),
+            sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))),
+            sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))]) AS s2,
+    count(*) AS n_rows
+  FROM lineitem
+)
+SELECT column_name,
+       n_rows,
+       n_rows - n AS n_null,
+       nd AS n_distinct,
+       CAST(mn AS DOUBLE) AS min_value,
+       CAST(mx AS DOUBLE) AS max_value,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 6) AS stddev_value
+FROM s
+"""
+
+# --------------------------------------------------------------------------
+# 2. Composite-key uniqueness (A3/A4; reference HasDuplicates)
+# --------------------------------------------------------------------------
+
+def q_unique_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .select("o_custkey", "o_orderdate", "n_dups")
+    )
+
+
+SQL_UNIQUE_KEY_ORDERS = """
+SELECT o_custkey, o_orderdate, count(*) AS n_dups
+FROM orders GROUP BY o_custkey, o_orderdate HAVING count(*) > 1
+"""
+
+# --------------------------------------------------------------------------
+# 3. Sequential numbering per group (W1; reference field.py:722-746) —
+#    agg-only, no window: {1..n} ⟺ min=1 ∧ max=n ∧ distinct=n
+# --------------------------------------------------------------------------
+
+def q_sequential_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.count_distinct("l_linenumber").alias("nd_ln"),
+    )
+    return agg.select(
+        "l_orderkey",
+        "n_lines",
+        "min_ln",
+        "max_ln",
+        (
+            (F.col("min_ln") == 1)
+            & (F.col("max_ln") == F.col("n_lines"))
+            & (F.col("nd_ln") == F.col("n_lines"))
+        ).alias("is_consecutive"),
+    )
+
+
+SQL_SEQUENTIAL_LINEITEM = """
+SELECT l_orderkey,
+       count(*) AS n_lines,
+       min(l_linenumber) AS min_ln,
+       max(l_linenumber) AS max_ln,
+       (min(l_linenumber) = 1 AND max(l_linenumber) = count(*)
+        AND count(DISTINCT l_linenumber) = count(*)) AS is_consecutive
+FROM lineitem GROUP BY l_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# 4. Referential integrity, both directions (J1/J4; anti-joins)
+# --------------------------------------------------------------------------
+
+def q_ref_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orphans = ev.select(F.col("user_id")).join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("user_id"))), "user_id", "left_anti"
+    )
+    unused = cust.select("c_custkey").join(
+        ev.select(F.col("user_id").alias("c_custkey")).distinct(), "c_custkey", "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphan_events")).crossJoin(
+        unused.agg(F.count(F.lit(1)).alias("n_unused_customers"))
+    )
+
+
+SQL_REF_INTEGRITY_EVENTS = """
+SELECT
+  (SELECT count(*) FROM events e WHERE NOT EXISTS
+     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphan_events,
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) AS n_unused_customers
+"""
+
+# --------------------------------------------------------------------------
+# 5. Monotonicity per group (W-family; lag windows, unique tie-break)
+# --------------------------------------------------------------------------
+
+def q_monotone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("prev_value").alias("n_pairs"),
+            F.sum(F.when(F.col("value") < F.col("prev_value"), 1).otherwise(0)).alias("n_decreases"),
+        )
+        .where(F.col("n_decreases") > 0)
+        .select("user_id", "n_pairs", "n_decreases")
+    )
+
+
+SQL_MONOTONE_EVENTS = """
+WITH lagged AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+)
+SELECT user_id, count(prev_value) AS n_pairs,
+       sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS n_decreases
+FROM lagged GROUP BY user_id HAVING sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) > 0
+"""
+
+# --------------------------------------------------------------------------
+# 6. Transition grammar (W4): adjacent event_type pairs per user
+# --------------------------------------------------------------------------
+
+def q_grammar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        pairs.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_GRAMMAR_EVENTS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+"""
+
+# --------------------------------------------------------------------------
+# 7. Categorical level audit, both directions (A6; double anti-join)
+# --------------------------------------------------------------------------
+
+DECLARED_EVENT_TYPES = ["click", "view", "purchase", "signup", "login"]
+
+
+def q_levels_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    declared = spark.createDataFrame([(v,) for v in DECLARED_EVENT_TYPES], "event_type string")
+    used = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    undeclared = used.join(F.broadcast(declared), "event_type", "left_anti").select(
+        "event_type", F.lit("undeclared").alias("problem"), "n_rows"
+    )
+    unused = declared.join(used.select("event_type"), "event_type", "left_anti").select(
+        "event_type", F.lit("unused").alias("problem"), F.lit(0).cast("long").alias("n_rows")
+    )
+    return undeclared.unionByName(unused)
+
+
+SQL_LEVELS_AUDIT_EVENTS = """
+WITH declared AS (SELECT unnest(['click','view','purchase','signup','login']) AS event_type),
+     used AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type)
+SELECT u.event_type, 'undeclared' AS problem, u.n_rows
+FROM used u WHERE u.event_type NOT IN (SELECT event_type FROM declared)
+UNION ALL
+SELECT d.event_type, 'unused' AS problem, CAST(0 AS BIGINT) AS n_rows
+FROM declared d WHERE d.event_type NOT IN (SELECT event_type FROM used)
+"""
+
+# --------------------------------------------------------------------------
+# 8. Extent vs bounds (A2; reference extent.py:121-161)
+# --------------------------------------------------------------------------
+
+def q_extent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+        (F.min("o_totalprice") >= 0).alias("price_lo_ok"),
+        (F.max("o_totalprice") < 1000000).alias("price_hi_ok"),
+        (F.min("o_orderdate") >= F.lit("1992-01-01").cast("timestamp")).alias("date_lo_ok"),
+    )
+
+
+SQL_EXTENT_ORDERS = """
+SELECT CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+       CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+       CAST(max(o_orderdate) AS VARCHAR) AS max_date,
+       min(o_totalprice) >= 0 AS price_lo_ok,
+       max(o_totalprice) < 1000000 AS price_hi_ok,
+       min(o_orderdate) >= TIMESTAMP '1992-01-01' AS date_lo_ok
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# 9. Distribution drift: PSI + KS between two cohorts (north-rule addition).
+#    Manual fixed-width bucketing (identical arithmetic both engines).
+# --------------------------------------------------------------------------
+
+PSI_LO, PSI_HI, PSI_BINS = 900.0, 105000.0, 20
+
+
+def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    bucket = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - PSI_LO) / width), F.lit(-1)),
+        F.lit(PSI_BINS),
+    )
+    cohort = (F.col("l_orderkey") % 2 == 0).alias("is_even")
+    hist = li.select(bucket.alias("bucket"), cohort).groupBy("bucket", "is_even").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pivoted = hist.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_even"), F.col("n")).otherwise(0)).alias("n_even"),
+        F.sum(F.when(~F.col("is_even"), F.col("n")).otherwise(0)).alias("n_odd"),
+    )
+    tot = pivoted.agg(
+        F.sum("n_even").alias("t_even"), F.sum("n_odd").alias("t_odd")
+    )
+    probs = pivoted.crossJoin(tot).select(
+        "bucket",
+        (F.col("n_even") / F.col("t_even")).alias("p"),
+        (F.col("n_odd") / F.col("t_odd")).alias("q"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = probs.select(
+        "p", "q", F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq")
+    )
+    eps = 1e-6
+    return cdf.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))), 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("cp") - F.col("cq"))), 6).alias("ks"),
+    )
+
+
+SQL_DRIFT_PSI_LINEITEM = f"""
+WITH b AS (
+  SELECT least(greatest(floor((l_extendedprice - {PSI_LO}) / {(PSI_HI - PSI_LO) / PSI_BINS}), -1), {PSI_BINS}) AS bucket,
+         (l_orderkey % 2 = 0) AS is_even
+  FROM lineitem
+), pv AS (
+  SELECT bucket,
+         sum(CASE WHEN is_even THEN 1 ELSE 0 END) AS n_even,
+         sum(CASE WHEN is_even THEN 0 ELSE 1 END) AS n_odd
+  FROM b GROUP BY bucket
+), pr AS (
+  SELECT bucket,
+         n_even / (SELECT sum(n_even) FROM pv) AS p,
+         n_odd / (SELECT sum(n_odd) FROM pv) AS q
+  FROM pv
+), c AS (
+  SELECT p, q,
+         sum(p) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(q) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+  FROM pr
+)
+SELECT round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi,
+       round(max(abs(cp - cq)), 6) AS ks
+FROM c
+"""
+
+# --------------------------------------------------------------------------
+# 10-12. Relational anchors: TPC-H-style agg, join, top-k per group
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + decimal-exact revenue + deterministic top-10."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"))
+    )
+    return joined.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", F.col("p_retailprice").cast("double").alias("p_retailprice"), "rank")
+    )
+
+
+SQL_TOPK_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+# --------------------------------------------------------------------------
+# 13-16. Training-data text ops: exact dedup, n-gram jaccard, text stats,
+#         language-ID
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(norm).alias("n_distinct_normalized"),
+        (F.count(F.lit(1)) - F.count_distinct(norm)).alias("n_redundant_docs"),
+    )
+
+
+SQL_DEDUP_EXACT_DOCS = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS n_distinct_normalized,
+       count(*) - count(DISTINCT trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS n_redundant_docs
+FROM documents
+"""
+
+
+JACCARD_N = 5
+JACCARD_THRESHOLD = 0.08
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{JACCARD_N - 1}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i)
+  WHERE len(t) >= {JACCARD_N} AND shingle <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "lang",
+        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
+        tx.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        )
+    )
+
+
+SQL_TEXT_STATS_BY_LANG = rf"""
+WITH e AS (
+  SELECT lang,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(coalesce(text,''), '{tx.TOKEN_REGEX}')) AS bpe_tokens,
+         length(coalesce(text,'')) AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(ws_tokens) AS total_ws_tokens,
+       sum(bpe_tokens) AS total_bpe_tokens,
+       round(sum(n_chars) / count(*), 6) AS avg_chars
+FROM e GROUP BY lang
+"""
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(tx.lang_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, words in tx.LANG_MARKERS.items():
+        rx = r"(?i)\b(" + "|".join(words) + r")\b"
+        parts.append(f"len(regexp_extract_all(coalesce(text,''), '{rx}')) AS s_{lang}")
+    return ", ".join(parts)
+
+
+SQL_LANG_ID_DOCS = f"""
+WITH s AS (SELECT {_sql_lang_scores()} FROM documents),
+     d AS (
+  SELECT CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    ELSE 'es' END AS detected_lang
+  FROM s
+)
+SELECT detected_lang, count(*) AS n_docs FROM d GROUP BY detected_lang
+"""
+
+# --------------------------------------------------------------------------
+# 17. Embedding similarity: exact cosine top-k (oracle via
+#     list_cosine_similarity); LSH variants are rows-only checked
+# --------------------------------------------------------------------------
+
+TOPK_K = 5
+TOPK_QUERY_MOD = 50
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(e, queries, k=TOPK_K)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {TOPK_QUERY_MOD} = 0),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 4) AS sim, rank FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+# --------------------------------------------------------------------------
+# 18. Hierarchy closure + congruence (J6-J10): region→nation→customer as a
+#     3-level hierarchy; closure built by the engine's path-doubling fixpoint,
+#     oracled by a recursive CTE.
+# --------------------------------------------------------------------------
+
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure over the TPC-H geography tree (customers under
+    nations under regions), via engine.hierarchy.build_closure. node_id
+    encoding keeps the three key spaces disjoint: region r → r,
+    nation n → 100 + n, customer c → 1000 + c."""
+    from safedata_validator_spark.engine.hierarchy import build_closure
+
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("node_id"),
+        F.lit(None).cast("long").alias("parent_id"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("node_id"),
+        F.col("n_regionkey").cast("long").alias("parent_id"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1000).cast("long").alias("node_id"),
+        (F.col("c_nationkey") + 100).cast("long").alias("parent_id"),
+    )
+    closure = build_closure(r.unionByName(n).unionByName(c))
+    return closure.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("node_id").alias("min_node"),
+        F.max("node_id").alias("max_node"),
+    )
+
+
+SQL_HIERARCHY_CLOSURE = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS node_id, CAST(NULL AS BIGINT) AS parent_id FROM region
+  UNION ALL
+  SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation
+  UNION ALL
+  SELECT CAST(c_custkey + 1000 AS BIGINT), CAST(c_nationkey + 100 AS BIGINT) FROM customer
+), closure AS (
+  SELECT node_id, node_id AS ancestor_id, 0 AS depth FROM nodes
+  UNION ALL
+  SELECT c.node_id, n.parent_id AS ancestor_id, c.depth + 1
+  FROM closure c JOIN nodes n ON c.ancestor_id = n.node_id
+  WHERE n.parent_id IS NOT NULL
+)
+SELECT depth, count(*) AS n_pairs, min(node_id) AS min_node, max(node_id) AS max_node
+FROM closure GROUP BY depth
+"""
+
+# --------------------------------------------------------------------------
+# 19. Sessionization (gap > 30 min splits a session) — the lag+cumsum window
+#     composition; per-user session stats.
+# --------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_no, count(*) AS n_events FROM sess GROUP BY user_id, session_no
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       sum(n_events) AS n_events
+FROM per_session GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# Rows-only checked (hash-based / engine-native; no SQL equivalent)
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(e, threshold=0.3, nbits=8)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_topk(e, queries, k=TOPK_K, nbits=8, probe_hamming=1)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+def q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship engine run: full rule set over the synthetic bad transcript
+    table (deterministic, independent of sf_dir scale)."""
+    from safedata_validator_spark.data.synth import dims, transcripts_bad
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    res = ValidationEngine().validate(
+        transcripts_bad(spark), transcript_ruleset(), dims(spark), with_stats=False
+    )
+    return res.verdicts.select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")
+
+
+QUERIES = {
+    "profile_lineitem": q_profile_lineitem,
+    "unique_key_orders": q_unique_key_orders,
+    "sequential_lineitem": q_sequential_lineitem,
+    "ref_integrity_events": q_ref_integrity_events,
+    "monotone_events": q_monotone_events,
+    "grammar_events": q_grammar_events,
+    "levels_audit_events": q_levels_audit_events,
+    "extent_orders": q_extent_orders,
+    "drift_psi_lineitem": q_drift_psi_lineitem,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "topk_parts_per_brand": q_topk_parts_per_brand,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "lang_id_docs": q_lang_id_docs,
+    "embedding_topk": q_embedding_topk,
+    "hierarchy_closure": q_hierarchy_closure,
+    "sessionize_events": q_sessionize_events,
+    # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
+    "minhash_lsh_docs": q_minhash_lsh_docs,
+    "simhash_docs": q_simhash_docs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "transcript_verdicts": q_transcript_verdicts,
+}
+
+ORACLES = {
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
+    "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,
+    "ref_integrity_events": SQL_REF_INTEGRITY_EVENTS,
+    "monotone_events": SQL_MONOTONE_EVENTS,
+    "grammar_events": SQL_GRAMMAR_EVENTS,
+    "levels_audit_events": SQL_LEVELS_AUDIT_EVENTS,
+    "extent_orders": SQL_EXTENT_ORDERS,
+    "drift_psi_lineitem": SQL_DRIFT_PSI_LINEITEM,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "topk_parts_per_brand": SQL_TOPK_PARTS_PER_BRAND,
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
+    "lang_id_docs": SQL_LANG_ID_DOCS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+}

@@ -1,0 +1,92 @@
+"""CLI exit-code contract + Structured-Streaming row-rule validation."""
+
+from __future__ import annotations
+
+import json
+
+from safedata_validator_spark.data.synth import transcripts_bad, transcripts_good
+from safedata_validator_spark.rules.presets import transcript_ruleset
+from safedata_validator_spark.streaming.validate_stream import (
+    stream_row_ruleset,
+    stream_violations,
+    windowed_verdicts,
+)
+
+
+def test_cli_pass_and_fail(spark, dims, tmp_path):
+    from safedata_validator_spark import cli
+
+    good_path = str(tmp_path / "good")
+    bad_path = str(tmp_path / "bad")
+    tools_path = str(tmp_path / "tools")
+    aliases_path = str(tmp_path / "aliases")
+    transcripts_good(spark, n_convs=10, mean_turns=10, hot_factor=5).write.parquet(good_path)
+    transcripts_bad(spark, n_convs=20, mean_turns=10).write.parquet(bad_path)
+    dims["tools"].write.parquet(tools_path)
+    dims["tool_aliases"].write.parquet(aliases_path)
+
+    rs_path = str(tmp_path / "rules.json")
+    with open(rs_path, "w") as fh:
+        json.dump(transcript_ruleset().to_dict(), fh)
+
+    common = ["--ruleset", rs_path, "--dim", f"tools={tools_path}",
+              "--dim", f"tool_aliases={aliases_path}", "--no-stats"]
+    rc_good = cli.main(["--table", good_path, "--out", str(tmp_path / "out_g"), *common])
+    assert rc_good == 0
+    rc_bad = cli.main(["--table", bad_path, "--json", str(tmp_path / "s.json"), *common])
+    assert rc_bad == 1
+    with open(tmp_path / "s.json") as fh:
+        summary = json.load(fh)
+    assert summary["status"] == "failed" and summary["n_errors"] > 0
+
+    # resume: second run over the same snapshot is a no-op
+    mani = str(tmp_path / "mani")
+    rc1 = cli.main(["--table", good_path, "--manifest", mani, *common])
+    rc2 = cli.main(["--table", good_path, "--manifest", mani, *common])
+    assert rc1 == 0 and rc2 == 0
+    # output tables written by the first run exist and are loadable
+    assert spark.read.parquet(str(tmp_path / "out_g/verdicts")).count() > 0
+
+
+def test_stream_violations_and_windowed_verdicts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    bad = transcripts_bad(spark, n_convs=20, mean_turns=10)
+    bad.write.parquet(src)
+    ruleset = transcript_ruleset()
+
+    stream = spark.readStream.schema(bad.schema).parquet(src)
+    assert stream.isStreaming
+
+    viols = stream_violations(stream, ruleset)
+    q = (
+        viols.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sv")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["rule_id"] for r in spark.sql("SELECT DISTINCT rule_id FROM sv").collect()}
+    assert {"text.not_blank", "text.not_na", "role.in_levels"} <= got
+
+    wv = windowed_verdicts(stream, ruleset, window="1 hour", watermark="2 hours")
+    q2 = (
+        wv.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wv")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.sql("SELECT * FROM wv").collect()
+    assert rows and all(r["n_rows"] > 0 for r in rows)
+    assert sum(r["n_failed__text_not_blank"] for r in rows) >= 0
+
+
+def test_stream_ruleset_restriction():
+    rs = transcript_ruleset()
+    srs = stream_row_ruleset(rs)
+    assert all(r.rule_type not in ("sequential", "monotone", "unique_key") for r in srs.rules)
+    assert any(r.rule_type == "not_blank" for r in srs.rules)

@@ -1,0 +1,170 @@
+"""Tests for the training-data pipeline operators: text analysis, dedup
+(exact / jaccard / minhash-LSH / simhash), similarity search, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.functions import text as tx
+from safedata_validator_spark.functions import dedup as dd
+from safedata_validator_spark.functions import similarity as sim
+from safedata_validator_spark.functions import multimodal as mm
+
+DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different words about spark shuffles and parquet column pruning"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, DOC),
+        (2, DOC),                      # exact dup of 1
+        (3, "  The quick brown fox jumps over the lazy dog near the river bank today!!  "),  # dup after normalisation
+        (4, NEAR),                     # near-dup of 1
+        (5, OTHER),
+        (6, "unrelated tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_and_normalize(spark):
+    df = spark.createDataFrame([("Hello, world! It's 2024.",), (None,), ("   ",)], "t string")
+    got = df.select(
+        tx.ws_token_count(F.col("t")).alias("ws"),
+        tx.bpe_token_count(F.col("t")).alias("bpe"),
+        tx.normalize_text(F.col("t")).alias("norm"),
+    ).collect()
+    assert (got[0]["ws"], got[1]["ws"], got[2]["ws"]) == (4, 0, 0)
+    # Hello , world ! It ' s 2024 . → 9 BPE-ish tokens
+    assert got[0]["bpe"] == 9
+    assert got[0]["norm"] == "hello world it s 2024"
+
+
+def test_quality_score_orders_sensibly(spark):
+    df = spark.createDataFrame(
+        [("good", DOC + " " + DOC), ("junk", "!!! ### $$$ %%% ^^^"), ("empty", "")],
+        "k string, t string",
+    )
+    got = {r["k"]: r["q"] for r in df.select("k", tx.quality_score(F.col("t")).alias("q")).collect()}
+    assert got["good"] > max(got["junk"], got["empty"])
+    assert got["good"] > 0.5 and got["junk"] < 0.4
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog went to the house"),
+            ("de", "der hund und die katze sind nicht da"),
+            ("fr", "le chat est pour la maison et les arbres"),
+            ("es", "el perro y la casa es que una por"),
+            ("und", "zzz qqq xxx"),
+        ],
+        "want string, t string",
+    )
+    got = df.select("want", tx.lang_id(F.col("t")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    got = dd.exact_dedup_groups(docs, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["keep_id"] == 1 and got[0]["member_ids"] == [1, 2, 3]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    # exact dups have jaccard 1.0; near-dup differs in last word only
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    assert (1, 4) in pairs and 0.6 < pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # verification step makes every reported jaccard exact
+    for k, v in got.items():
+        assert exact[k] == pytest.approx(v)
+    # identical docs always collide in every band → must be found
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[3]  # identical token multisets... identical signature
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=16).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0
+    assert (1, 4) in got and 0 < got[(1, 4)] <= 16
+    assert (1, 5) not in got and (1, 6) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # 4 tight clusters of 5 — true neighbours are same-cluster, so ANN
+    # recall is meaningful (random gaussians have no true neighbours)
+    centroids = rng.standard_normal((4, 16))
+    base = np.stack(
+        [centroids[i % 4] + 0.15 * rng.standard_normal(16) for i in range(20)]
+    ).astype("float32")
+    base[7] = base[3] + 0.001 * rng.standard_normal(16).astype("float32")  # near-dup pair (3,7)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.brute_force_topk(vectors, queries, k=3).collect()
+    assert [r["vec_id"] for r in got if r["rank"] == 1] == [7]
+    assert got[0]["sim"] > 0.999
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, vectors):
+    queries = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = sim.brute_force_topk(vectors, queries, k=3)
+    ann = sim.lsh_topk(vectors, queries, k=3, nbits=6, probe_hamming=2)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.6, recall
+    # the engineered near-identical pair must be found even single-probe
+    nd = sim.embedding_near_dup_pairs(vectors, threshold=0.999, nbits=6)
+    assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(3, 7)}
+
+
+def test_multimodal_features_and_rules(spark, dims):
+    media = mm.synth_media(spark, n=30)
+    feats = mm.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == mm.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"] for r in mm.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+    from safedata_validator_spark.engine.validator import ValidationEngine
+
+    res = ValidationEngine().validate(media, mm.media_integrity_ruleset(), with_stats=False)
+    assert res.passed()
+
+    # decode stub is explicit about being a stub
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00\x01")

@@ -42,8 +42,10 @@ def test_good_has_zero_violations(spark, good, dims):
 #   conv-4 t2 'operator'→ role.in_levels ×1, levels_audit ×1, grammar ×2
 #   conv-5 t4 unknown tool                       → tool.ref_integrity ×1
 #   conv-6 t4 alias 'shell'                      → .alias WARNING ×1
-#   conv-7 t2 duplicated row → key.unique ×1, turn_idx.sequential ×1,
-#                              grammar ×1 (user→user between the twin rows)
+#   conv-7 t2 duplicated row → key.unique ×1, turn_idx.sequential ×1
+#       (join-adjacency pairs rows by turn_idx arithmetic, so the twin rows
+#        at the SAME index form no user→user edge — density violations are
+#        owned by sequential/unique, not double-reported by the grammar)
 #   conv-8 gap at t5                             → turn_idx.sequential ×1
 #   conv-9 t6 ts −1h                             → ts.monotone ×1
 #   conv-10 t1 ts 2021 (soft), conv-11 t1 ts 2019 (hard)
@@ -61,7 +63,7 @@ EXPECTED = {
     "key.unique": 1,
     "turn_idx.sequential": 2,
     "ts.monotone": 1,
-    "role.grammar": 7,
+    "role.grammar": 6,
     "ts.extent_hard": 1,
     "ts.extent_soft": 1,
 }
