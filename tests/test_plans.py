@@ -1,0 +1,134 @@
+"""Physical-plan quality assertions — the '.explain and iterate' discipline:
+these pin the plan shapes that matter at 10^12-row scale, so a regression
+(lost broadcast, lost pushdown, duplicated exchange) fails CI, not the
+cluster."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.data.synth import transcripts_good
+from safedata_validator_spark.engine.validator import ValidationEngine
+from safedata_validator_spark.rules.model import Rule, RuleSet
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ref_integrity_uses_broadcast_join(spark, dims):
+    df = transcripts_good(spark, n_convs=5, mean_turns=5, hot_factor=2)
+    rs = RuleSet(
+        name="t", key_cols=["conv_id", "turn_idx"],
+        rules=[Rule("r", "ref_integrity", column="tool",
+                    params={"dim": "tools", "dim_key": "tool"})],
+    )
+    plan = _physical(ValidationEngine().violations(df, rs, dims))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # dimension must never shuffle the fact side
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _physical(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema must contain only the referenced columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+
+
+def test_row_rules_fuse_into_single_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rs = RuleSet(
+        name="t", key_cols=["l_orderkey", "l_linenumber"],
+        rules=[
+            Rule("a", "not_blank", column="l_returnflag"),
+            Rule("b", "in_levels", column="l_linestatus", params={"levels": ["O", "F"]}),
+            Rule("c", "bounds", column="l_quantity", params={"lo": 0.0, "hi": 100.0}),
+        ],
+    )
+    plan = _optimized(ValidationEngine().violations(li, rs))
+    assert plan.count("Relation") == 1  # one scan feeds all three rules
+
+
+def test_adjacency_default_has_no_window(spark):
+    """The skew-safety property itself: the default (join) adjacency path
+    must contain NO Window node — a Window.partitionBy(conv_id) is exactly
+    the hot-key hazard the engine exists to avoid. Also: Catalyst pushes the
+    monotone comparison INTO the join (inner join with condition), so
+    non-violating pairs never materialise. Per-branch column pruning gives
+    each rule its own narrow exchange (as cheap as a shared wide one)."""
+    df = transcripts_good(spark, n_convs=5, mean_turns=8, hot_factor=2)
+    rs = RuleSet(
+        name="t", key_cols=["conv_id", "turn_idx"],
+        rules=[
+            Rule("m", "monotone", column="ts",
+                 params={"group": "conv_id", "order": "turn_idx"}),
+            Rule("g", "transition_grammar", column="role",
+                 params={"group": "conv_id", "order": "turn_idx",
+                         "transitions": [["system", "user"], ["user", "assistant"],
+                                         ["assistant", "tool"], ["assistant", "user"],
+                                         ["tool", "assistant"]],
+                         "allowed_start": ["system"]}),
+        ],
+    )
+    plan = _physical(ValidationEngine().violations(df, rs))
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sequential_unique_share_level1_exchange(spark):
+    df = transcripts_good(spark, n_convs=5, mean_turns=8, hot_factor=2)
+    rs = RuleSet(
+        name="t", key_cols=["conv_id", "turn_idx"],
+        rules=[
+            Rule("u", "unique_key", params={"keys": ["conv_id", "turn_idx"]}),
+            Rule("s", "sequential", column="turn_idx",
+                 params={"group": "conv_id", "order": "turn_idx"}),
+        ],
+    )
+    viols = ValidationEngine().violations(df, rs)
+    plan = _physical(viols)
+    # the scale property: NO distinct aggregate anywhere — the distinct count
+    # is derived from level-1 row counts, so no Expand node and no
+    # count(distinct ...) rewrite appears in the plan
+    assert "Expand" not in plan
+    assert "count(distinct" not in plan.lower()
+    # both rules consume the same level-1 (conv_id, turn_idx) aggregation
+    assert plan.count("HashAggregate(keys=[conv_id") >= 2
+    # and at runtime AQE reuses the identical level-1 exchange
+    viols.collect()
+    final = _physical(viols)
+    assert "ReusedExchange" in final or final.count("Exchange hashpartitioning(conv_id") <= 2
+
+
+def test_no_python_row_udfs_anywhere(spark, dims):
+    """North-rule mandate: no per-row Python. The full rule set's plan must
+    contain no BatchEvalPython (row UDF) nodes; ArrowEvalPython (vectorized)
+    is allowed but the transcript preset needs none at all."""
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    df = transcripts_good(spark, n_convs=5, mean_turns=8, hot_factor=2)
+    res = ValidationEngine().validate(df, transcript_ruleset(), dims)
+    for frame in (res.violations, res.verdicts, res.stats):
+        plan = _physical(frame)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_profile_pushes_column_pruning_to_parquet(spark):
+    from safedata_validator_spark.engine.profiler import profile
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _physical(profile(li, columns=["l_quantity", "l_discount"]))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
