@@ -124,6 +124,58 @@ def resolve_names(
     return joined.select(*[user[c] for c in user.columns], "node_id", "status", match_status.alias("match_status"))
 
 
+def eval_name_resolution(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """Taxon-style name resolution as a validation rule (the engine analogue
+    of ``validate_and_add_taxon``, taxa.py:1118-1508): every distinct
+    (name, rank) claimed by the fact table must resolve in the dimension —
+    'missing' and 'ambiguous' are ERRORs at rule severity, synonym use is a
+    WARNING (the reference logs synonym substitution as a warning,
+    taxa.py:1332-1340 decision matrix).
+
+    params: dim (nodes dimension with name/rank/status/node_id columns),
+    name_col, rank_col (fact columns).
+    """
+    dim = dims[rule.params["dim"]]
+    name_col = rule.params.get("name_col", "name")
+    rank_col = rule.params.get("rank_col", "rank")
+    scope = F.expr(ruleset.scope)
+
+    claimed = (
+        df.select(
+            F.col(name_col).alias("name"),
+            F.col(rank_col).alias("rank"),
+            scope.alias("__scope"),
+        )
+        .where(F.col("name").isNotNull())
+        .groupBy("__scope", "name", "rank")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    resolved = resolve_names(claimed, dim, "name", "rank")
+    bad = resolved.where(F.col("match_status") != "found")
+    sev = F.when(F.col("match_status") == "synonym", F.lit("WARNING")).otherwise(F.lit(rule.severity))
+    msg = F.concat(
+        F.lit("name resolution: "),
+        F.col("match_status"),
+        F.lit(" for ("),
+        F.col("name"),
+        F.lit(", "),
+        F.coalesce(F.col("rank"), F.lit("∅")),
+        F.lit(") ("),
+        F.col("__n").cast("string"),
+        F.lit(" rows)"),
+    )
+    entity = F.concat(F.lit("name="), F.col("name"), F.lit("/rank="), F.coalesce(F.col("rank"), F.lit("∅")))
+    return bad.select(
+        F.concat(F.lit(rule.rule_id), F.lit("."), F.col("match_status")).alias("rule_id"),
+        sev.alias("severity"),
+        F.col("__scope").cast("string").alias("scope"),
+        entity.alias("entity"),
+        F.lit(rule.column if rule.column else name_col).alias("column"),
+        F.col("name").alias("value"),
+        msg.alias("message"),
+    )
+
+
 def eval_hierarchy_congruence(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """Fact rows claim (child_name, ancestor_name); the claim must hold in the
     closure table (reference congruence check taxa.py:1440-1453).

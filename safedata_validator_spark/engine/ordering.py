@@ -123,7 +123,11 @@ def eval_sequential(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     errors but counts at sheet level, field.py:779-790)."""
     group = rule.params.get("group", ruleset.key_cols[0])
     order = rule.params.get("order", rule.column or "turn_idx")
-    return sequential_from_counts(key_counts(df, group, order, ruleset.scope), rule, group, order)
+    counts = key_counts(df, group, order, ruleset.scope)
+    out = sequential_from_counts(counts, rule, group, order)
+    if rule.params.get("examples"):
+        out = out.unionByName(sequential_examples(df, counts, rule, ruleset, group, order))
+    return out
 
 
 def sequential_from_counts(counts: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
@@ -156,6 +160,62 @@ def sequential_from_counts(counts: DataFrame, rule: Rule, group: str, order: str
     )
     entity = F.concat(F.lit(f"{group}="), F.col(group).cast("string"))
     return as_violations(bad, rule, F.col("__scope"), entity, F.col("__n"), msg, column=order)
+
+
+def sequential_examples(
+    df: DataFrame, counts: DataFrame, rule: Rule, ruleset, group: str, order: str
+) -> DataFrame:
+    """Row-level drilldown for bad sequences (reference O3: report the first
+    few offending rows, keep full counts — field.py:2008-2011). Scale shape:
+    the bad-group set from the aggregate is tiny, so the fact table is
+    semi-joined down to just those groups BEFORE any window runs; the window
+    then orders only violating conversations. ``max_examples`` bounds output."""
+    start = int(rule.params.get("start", 1))
+    max_examples = int(rule.params.get("max_examples", 100))
+    agg = counts.groupBy(group, "__scope").agg(
+        F.sum("__dup_n").alias("__n"),
+        F.min(order).alias("__min"),
+        F.max(order).alias("__max"),
+        F.count(F.col(order)).alias("__nd"),
+        F.sum(F.when(F.col(order).isNull(), F.col("__dup_n")).otherwise(0)).alias("__n_null"),
+    )
+    ok = (
+        (F.col("__n_null") == 0)
+        & (F.col("__min") == start)
+        & (F.col("__max") == F.col("__n") + (start - 1))
+        & (F.col("__nd") == F.col("__n"))
+    )
+    bad_groups = agg.where(~ok).select(group)
+    sub = df.join(F.broadcast(bad_groups), group, "left_semi")
+    w = Window.partitionBy(group).orderBy(F.col(order).asc_nulls_last())
+    ranked = sub.select(
+        group,
+        F.col(order),
+        F.expr(ruleset.scope).cast("string").alias("__scope"),
+        (F.row_number().over(w) + (start - 1)).alias("__expected"),
+    )
+    bad_rows = ranked.where(
+        F.col(order).isNull() | (F.col(order) != F.col("__expected"))
+    ).limit(max_examples)
+    entity = F.concat(
+        F.lit(f"{group}="), F.col(group).cast("string"),
+        F.lit(f"/{order}="), F.coalesce(F.col(order).cast("string"), F.lit("∅")),
+    )
+    msg = F.concat(
+        F.lit(f"{order}="),
+        F.coalesce(F.col(order).cast("string"), F.lit("∅")),
+        F.lit(" where "),
+        F.col("__expected").cast("string"),
+        F.lit(" was expected"),
+    )
+    example_rule = Rule(
+        rule_id=rule.rule_id + ".example",
+        rule_type=rule.rule_type,
+        column=rule.column,
+        severity=rule.severity,
+        params=rule.params,
+    )
+    return as_violations(bad_rows, example_rule, F.col("__scope"), entity, F.col(order), msg, column=order)
 
 
 def adjacent_pairs_join(

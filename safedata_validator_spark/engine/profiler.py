@@ -80,6 +80,14 @@ def profile(
         else:
             aggs.append(F.lit(0).cast("long").alias(f"{c}__n_blank"))
             aggs.append(F.lit(0).cast("long").alias(f"{c}__n_na"))
+        if isinstance(dt, T.TimestampType):
+            # date-vs-datetime discrimination (reference 'all midnight'
+            # detection, field.py:2099-2118): zero non-midnight values means
+            # the column is really a date
+            nonmid = (F.hour(col) != 0) | (F.minute(col) != 0) | (F.second(col) != 0)
+            aggs.append(F.sum(F.when(nonmid, 1).otherwise(0)).alias(f"{c}__n_nonmidnight"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__n_nonmidnight"))
         if approx_distinct:
             aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
         else:
@@ -115,6 +123,7 @@ def profile(
                 F.col(f"{c}__mean").alias("mean"),
                 F.col(f"{c}__stddev").alias("stddev"),
                 F.col(f"{c}__quantiles").alias("quantiles"),
+                F.col(f"{c}__n_nonmidnight").alias("n_nonmidnight"),
             )
             for c in columns
         ]

@@ -156,6 +156,8 @@ class ValidationEngine:
             order = sr.params.get("order", sr.column or "turn_idx")
             counts = ordering.key_counts(df, group, order, ruleset.scope)
             parts.append(ordering.sequential_from_counts(counts, sr, group, order))
+            if sr.params.get("examples"):
+                parts.append(ordering.sequential_examples(df, counts, sr, ruleset, group, order))
             handled.add(id(sr))
             for ur in uniq_rules:
                 if id(ur) not in handled and list(ur.params.get("keys", ruleset.key_cols)) == [group, order]:

@@ -37,6 +37,12 @@ def transcript_ruleset(scope: str = "'all'", block_size: int = 4096) -> RuleSet:
             Rule("tool.requires_tool_role", "expr", column="tool", severity=ERROR,
                  params={"sql": "tool IS NULL OR role IN ('tool','assistant')",
                          "message": "tool set on a non-tool/assistant turn"}),
+            # reference F19 blank-row detection (field.py:685-709): a turn
+            # whose value columns are ALL blank is structurally empty
+            Rule("row.not_all_blank", "expr", column="text", severity=ERROR,
+                 params={"sql": ("NOT (coalesce(trim(role),'') = '' AND "
+                                 "coalesce(trim(text),'') = '' AND tool IS NULL)"),
+                         "message": "all value columns blank (empty row)"}),
             # --- plan-level -------------------------------------------------
             Rule("key.unique", "unique_key", severity=ERROR,
                  params={"keys": ["conv_id", "turn_idx"]}),

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame
 
 from safedata_validator_spark.engine.drift import eval_drift
 from safedata_validator_spark.engine.extents import eval_extent
-from safedata_validator_spark.engine.hierarchy import eval_hierarchy_congruence
+from safedata_validator_spark.engine.hierarchy import (
+    eval_hierarchy_congruence,
+    eval_name_resolution,
+)
+from safedata_validator_spark.engine.typing_rules import eval_format_consistency
 from safedata_validator_spark.engine.ordering import (
     eval_monotone,
     eval_sequential,
@@ -44,6 +48,8 @@ PLAN_EVALUATORS: dict[str, PlanEvaluator] = {
     "extent": eval_extent,
     "drift": eval_drift,
     "hierarchy_congruence": eval_hierarchy_congruence,
+    "name_resolution": eval_name_resolution,
+    "format_consistency": eval_format_consistency,
 }
 
 
