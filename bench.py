@@ -47,6 +47,10 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     from safedata_validator_spark.queries import QUERIES
     from safedata_validator_spark.rules.presets import transcript_ruleset
 
+    # JVM/codegen warm-up so the first timed query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    materialize(QUERIES["pricing_summary"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

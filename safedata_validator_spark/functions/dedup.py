@@ -44,10 +44,14 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document → (id, shingle)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # n shifted slices zipped — O(n) array ops per row; a per-index slice
+    # inside transform() would be O(len²) interpreted work per document
+    length = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, F.greatest(length, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    sh = F.when(F.size(toks) >= n, F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -97,8 +101,10 @@ def minhash_signatures(
     shingle set, computed as ONE aggregation (num_perm min() columns over the
     exploded shingles — partial aggregation keeps the shuffle at
     |docs| × num_perm, not |shingles|)."""
-    sh = word_shingles(df, id_col, text_col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
+    sh = word_shingles(df, id_col, text_col, n).withColumn("__h", F.xxhash64("shingle"))
+    # the string is hashed ONCE; permutations derive from the 64-bit value
+    # (hashing an int is ~10× cheaper than re-hashing the string num_perm×)
+    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
 
@@ -161,13 +167,11 @@ def minhash_lsh_dedup(
     cand = lsh_candidate_pairs(sig, bands)
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # equi-join on (id, shingle) both hops — the shingle is IN the join key,
+    # so each candidate pair costs |A∩B| joined rows, not |A|×|B|
     common = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sa"), "id_a")
-        .join(
-            sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sb"),
-            "id_b",
-        )
-        .where(F.col("sa") == F.col("sb"))
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
