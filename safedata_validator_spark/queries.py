@@ -734,6 +734,35 @@ def q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.verdicts.select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")
 
 
+#: Golden verdict table for the flagship run — the engine analogue of the
+#: reference's exact-error-count corpus (test/test_dataset.py:11-24:
+#: good=0 / bad=94). Deterministic because the synthetic generator is
+#: hash-seeded; any engine or generator change that shifts a count fails the
+#: gate loudly.
+SQL_TRANSCRIPT_VERDICTS = """
+SELECT * FROM (VALUES
+  ('all', 'conv_id.not_blank', 'ERROR', CAST(3401 AS BIGINT), CAST(0 AS BIGINT), true),
+  ('all', 'key.unique', 'ERROR', 3401, 1, false),
+  ('all', 'role.grammar', 'ERROR', 3401, 6, false),
+  ('all', 'role.in_levels', 'ERROR', 3401, 2, false),
+  ('all', 'role.levels_audit', 'ERROR', 3401, 2, false),
+  ('all', 'role.not_padded', 'ERROR', 3401, 1, false),
+  ('all', 'row.not_all_blank', 'ERROR', 3401, 0, true),
+  ('all', 'text.no_excel_error', 'ERROR', 3401, 1, false),
+  ('all', 'text.not_blank', 'ERROR', 3401, 2, false),
+  ('all', 'text.not_na', 'WARNING', 3401, 1, true),
+  ('all', 'tool.ref_integrity', 'ERROR', 3401, 1, false),
+  ('all', 'tool.ref_integrity.alias', 'WARNING', 3401, 1, true),
+  ('all', 'tool.requires_tool_role', 'ERROR', 3401, 0, true),
+  ('all', 'ts.extent_hard', 'ERROR', 3401, 1, false),
+  ('all', 'ts.extent_soft', 'WARNING', 3401, 1, true),
+  ('all', 'ts.monotone', 'ERROR', 3401, 1, false),
+  ('all', 'turn_idx.positive', 'ERROR', 3401, 0, true),
+  ('all', 'turn_idx.sequential', 'ERROR', 3401, 2, false)
+) AS t(scope, rule_id, severity, n_rows, n_failed, passed)
+"""
+
+
 QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "unique_key_orders": q_unique_key_orders,
@@ -754,12 +783,13 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "hierarchy_closure": q_hierarchy_closure,
     "sessionize_events": q_sessionize_events,
+    # value-gated against a hard-coded golden VALUES table (deterministic run)
+    "transcript_verdicts": q_transcript_verdicts,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
-    "transcript_verdicts": q_transcript_verdicts,
 }
 
 ORACLES = {
@@ -782,4 +812,5 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
 }
