@@ -694,6 +694,80 @@ FROM per_session GROUP BY user_id
 """
 
 # --------------------------------------------------------------------------
+# 20. Multimodal feature extraction: binary payloads → mapInPandas features.
+#     Oracle reconstructs the deterministic synthetic media table and its
+#     integrity metadata in pure SQL (payload bytes = hex digest string).
+# --------------------------------------------------------------------------
+
+N_MEDIA = 64
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from safedata_validator_spark.functions import multimodal as mm
+
+    media = mm.synth_media(spark, n=N_MEDIA)
+    feats = mm.extract_features(media)
+    # the feature vector itself is pytest-gated (deterministic surrogate);
+    # the SQL gate checks the Arrow-batch plumbing integrity outputs
+    return feats.select("media_id", "kind", "n_bytes", "sha256")
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH media AS (
+  SELECT g AS media_id,
+         CASE g % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(CAST(g AS VARCHAR)) AS payload_hex
+  FROM generate_series(0, {N_MEDIA - 1}) t(g)
+)
+SELECT media_id, kind,
+       CAST(length(payload_hex) AS INT) AS n_bytes,
+       sha256(payload_hex) AS sha256
+FROM media
+"""
+
+# --------------------------------------------------------------------------
+# 21. Quality scoring per document (pretraining-corpus filter battery)
+# --------------------------------------------------------------------------
+
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
+    )
+
+
+def _sql_quality() -> str:
+    stop_rx = r"(?i)\b(" + "|".join(tx.STOPWORDS_EN) + r")\b"
+    return rf"""
+WITH e AS (
+  SELECT doc_id,
+         coalesce(text,'') AS t,
+         length(coalesce(text,'')) AS n_chars,
+         greatest(length(coalesce(text,'')), 1) AS safe,
+         length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\[\]{{}}]', '', 'g')) AS n_punct,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END AS n_tok,
+         len(regexp_extract_all(coalesce(text,''), '{stop_rx}')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(0.25 * (
+         least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+         + CAST(n_alpha AS DOUBLE) / safe
+         + (1.0 - least(3.0 * CAST(n_punct AS DOUBLE) / safe, 1.0))
+         + least(5.0 * CAST(n_stop AS DOUBLE) / greatest(n_tok, 1), 1.0)
+       ), 6) AS quality,
+       CAST(n_tok AS INT) AS ws_tokens
+FROM e
+"""
+
+
+SQL_QUALITY_DOCS = _sql_quality()
+
+# --------------------------------------------------------------------------
 # Rows-only checked (hash-based / engine-native; no SQL equivalent)
 # --------------------------------------------------------------------------
 
@@ -783,6 +857,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "hierarchy_closure": q_hierarchy_closure,
     "sessionize_events": q_sessionize_events,
+    "media_features": q_media_features,
+    "quality_docs": q_quality_docs,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
@@ -813,4 +889,6 @@ ORACLES = {
     "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "quality_docs": SQL_QUALITY_DOCS,
 }
