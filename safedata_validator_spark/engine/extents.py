@@ -18,18 +18,19 @@ from safedata_validator_spark.engine.common import as_violations
 from safedata_validator_spark.rules.model import Rule
 
 
-def eval_extents_fused(df: DataFrame, rules: list[Rule], ruleset) -> list[DataFrame]:
-    """ALL extent rules in ONE agg: min/max of every referenced column in a
-    single scan (the fold is associative; partial aggregation merges
-    treewise), then each rule's bound predicate filters the one-row-per-scope
-    aggregate. The validator routes every extent rule here."""
-    scope = F.expr(ruleset.scope)
-    cols = sorted({r.column for r in rules})
+def extent_aggs(rules: list[Rule]) -> list:
+    """Typed min/max/count aggregate expressions for every column referenced by
+    an extent rule — contributed to the validator's shared per-scope
+    aggregation (one scan serves extents, profile and verdict row counts)."""
     aggs = []
-    for c in cols:
+    for c in sorted({r.column for r in rules}):
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"), F.count(c).alias(f"__n_{c}")]
-    agg = df.groupBy(scope.alias("__scope")).agg(*aggs)
+    return aggs
 
+
+def extents_from_agg(agg: DataFrame, rules: list[Rule]) -> list[DataFrame]:
+    """Bound predicates over a prebuilt per-scope aggregate carrying
+    ``__scope`` plus the ``extent_aggs`` columns."""
     out = []
     for rule in rules:
         c = rule.column
@@ -54,6 +55,18 @@ def eval_extents_fused(df: DataFrame, rules: list[Rule], ruleset) -> list[DataFr
         )
         out.append(as_violations(bad, rule, F.col("__scope"), entity, value, msg))
     return out
+
+
+def eval_extents_fused(df: DataFrame, rules: list[Rule], ruleset) -> list[DataFrame]:
+    """ALL extent rules in ONE agg: min/max of every referenced column in a
+    single scan (the fold is associative; partial aggregation merges
+    treewise), then each rule's bound predicate filters the one-row-per-scope
+    aggregate. The validator routes every extent rule here (and, inside a
+    full ``validate`` run, shares the aggregate with the profiler instead)."""
+    agg = df.groupBy(F.expr(ruleset.scope).cast("string").alias("__scope")).agg(
+        *extent_aggs(rules)
+    )
+    return extents_from_agg(agg, rules)
 
 
 def eval_extent(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:

@@ -276,6 +276,89 @@ def build_pairs(
     return adjacent_pairs(base, group, order, value_cols, block_size, carry=["__scope"])
 
 
+def _monotone_check(rule: Rule, group: str, order: str):
+    """(violation predicate, value, message) columns over a pairs stream."""
+    col = rule.column
+    strict = rule.params.get("direction", "non_decreasing") == "increasing"
+    prev = F.col(f"__prev_{col}")
+    cur = F.col(col)
+    viol = prev.isNotNull() & cur.isNotNull() & ((cur <= prev) if strict else (cur < prev))
+    msg = F.concat(
+        F.lit(f"{col} decreased: "), prev.cast("string"), F.lit(" → "), cur.cast("string")
+    )
+    return viol, cur, msg
+
+
+def _grammar_check(rule: Rule, group: str, order: str):
+    """(violation predicate, value, message) columns over a pairs stream."""
+    col = rule.column
+    transitions = [f"{a}→{b}" for a, b in rule.params["transitions"]]
+    allowed_start = list(rule.params.get("allowed_start", []))
+    start = int(rule.params.get("start", 1))
+    prev = F.col(f"__prev_{col}")
+    cur = F.col(col)
+    edge = F.concat_ws("→", prev, cur)
+    is_start = F.col(order) == start
+    # a missing predecessor that is NOT the opening turn is a sequence gap —
+    # owned (and reported) by the sequential rule, not double-reported here
+    viol = (
+        F.when(is_start, ~cur.isin(allowed_start) if allowed_start else F.lit(False))
+        .when(F.col(f"__prev_{order}").isNull(), F.lit(False))
+        .otherwise(~edge.isin(transitions))
+    )
+    msg = F.when(is_start, F.concat(F.lit("bad opening role: "), F.coalesce(cur, F.lit("∅")))).otherwise(
+        F.concat(F.lit("forbidden transition: "), F.coalesce(prev, F.lit("∅")), F.lit(" → "), F.coalesce(cur, F.lit("∅")))
+    )
+    return F.coalesce(viol, F.lit(True)), cur, msg
+
+
+_ADJACENCY_CHECKS = {"monotone": _monotone_check, "transition_grammar": _grammar_check}
+
+
+def fused_pairs_violations(
+    pairs: DataFrame, rules: list[Rule], group: str, order: str
+) -> DataFrame:
+    """ALL adjacency rules sharing one pairs plan evaluated in ONE projection
+    — each rule contributes a conditional violation struct, non-null structs
+    explode out (the same fusion shape as the validator's row-rule scan).
+    With a single consumer the pairs self-join executes exactly once per run;
+    two separate consumers would defeat exchange reuse the moment column
+    pruning differentiates their subplans."""
+    structs = []
+    for r in rules:
+        pred, value, msg = _ADJACENCY_CHECKS[r.rule_type](r, group, order)
+        structs.append(
+            F.when(
+                pred,
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(r.severity).alias("severity"),
+                    F.lit(r.column or "").alias("column"),
+                    value.cast("string").alias("value"),
+                    msg.alias("message"),
+                ),
+            )
+        )
+    entity = F.concat(
+        F.lit(f"{group}="), F.col(group).cast("string"),
+        F.lit(f"/{order}="), F.col(order).cast("string"),
+    )
+    fused = pairs.select(
+        F.col("__scope").cast("string").alias("__scope"),
+        entity.alias("__entity"),
+        F.array_compact(F.array(*structs)).alias("__v"),
+    ).where(F.size("__v") > 0)
+    return fused.select("__scope", "__entity", F.explode("__v").alias("v")).select(
+        F.col("v.rule_id").alias("rule_id"),
+        F.col("v.severity").alias("severity"),
+        F.col("__scope").alias("scope"),
+        F.col("__entity").alias("entity"),
+        F.col("v.column").alias("column"),
+        F.col("v.value").alias("value"),
+        F.col("v.message").alias("message"),
+    )
+
+
 def eval_monotone(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     """Column must be non-decreasing (or 'increasing') in ``order`` within
     ``group``. params: group, order, direction, adjacency (join|window),
@@ -286,19 +369,7 @@ def eval_monotone(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
 
 
 def monotone_from_pairs(pairs: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
-    col = rule.column
-    strict = rule.params.get("direction", "non_decreasing") == "increasing"
-    prev = F.col(f"__prev_{col}")
-    cur = F.col(col)
-    viol = prev.isNotNull() & cur.isNotNull() & ((cur <= prev) if strict else (cur < prev))
-    bad = pairs.where(viol)
-    entity = F.concat(
-        F.lit(f"{group}="), F.col(group).cast("string"), F.lit(f"/{order}="), F.col(order).cast("string")
-    )
-    msg = F.concat(
-        F.lit(f"{col} decreased: "), prev.cast("string"), F.lit(" → "), cur.cast("string")
-    )
-    return as_violations(bad, rule, F.col("__scope"), entity, cur, msg)
+    return fused_pairs_violations(pairs, [rule], group, order)
 
 
 def eval_transition_grammar(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
@@ -317,26 +388,4 @@ def eval_transition_grammar(df: DataFrame, rule: Rule, ruleset, dims) -> DataFra
 
 
 def grammar_from_pairs(pairs: DataFrame, rule: Rule, group: str, order: str) -> DataFrame:
-    col = rule.column
-    transitions = [f"{a}→{b}" for a, b in rule.params["transitions"]]
-    allowed_start = list(rule.params.get("allowed_start", []))
-    start = int(rule.params.get("start", 1))
-    prev = F.col(f"__prev_{col}")
-    cur = F.col(col)
-    edge = F.concat_ws("→", prev, cur)
-    is_start = F.col(order) == start
-    # a missing predecessor that is NOT the opening turn is a sequence gap —
-    # owned (and reported) by the sequential rule, not double-reported here
-    viol = (
-        F.when(is_start, ~cur.isin(allowed_start) if allowed_start else F.lit(False))
-        .when(F.col(f"__prev_{order}").isNull(), F.lit(False))
-        .otherwise(~edge.isin(transitions))
-    )
-    bad = pairs.where(F.coalesce(viol, F.lit(True)))
-    entity = F.concat(
-        F.lit(f"{group}="), F.col(group).cast("string"), F.lit(f"/{order}="), F.col(order).cast("string")
-    )
-    msg = F.when(is_start, F.concat(F.lit("bad opening role: "), F.coalesce(cur, F.lit("∅")))).otherwise(
-        F.concat(F.lit("forbidden transition: "), F.coalesce(prev, F.lit("∅")), F.lit(" → "), F.coalesce(cur, F.lit("∅")))
-    )
-    return as_violations(bad, rule, F.col("__scope"), entity, cur, msg)
+    return fused_pairs_violations(pairs, [rule], group, order)

@@ -38,29 +38,19 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, NUMERIC_TYPES)
 
 
-def profile(
+def profile_aggs(
     df: DataFrame,
-    columns: list[str] | None = None,
-    scope: str = "'all'",
+    columns: list[str],
     approx_distinct: bool = True,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     na_sentinel: str = "NA",
     relative_error: float = 0.001,
-) -> DataFrame:
-    """One-scan profile → long DataFrame:
-
-    (scope, column, n, n_null, n_blank, n_na, n_distinct,
-     min_value, max_value, mean, stddev, quantiles array<double>)
-
-    ``n_blank``/``n_na`` apply to string columns (reference blank/NA counters,
-    field.py:1435-1442); ``mean``/``stddev``/``quantiles`` to numeric columns;
-    timestamps profile min/max (temporal extents, field.py:2120-2131).
-    ``approx_distinct=False`` switches HLL to exact count_distinct — used by
-    the DuckDB-oracle correctness gate; production keeps the sketch.
-    """
+) -> list:
+    """The per-column aggregate expressions behind ``profile`` — exposed so the
+    validator can fold them into ONE shared per-scope aggregation together with
+    extent min/max and the verdict row count (the north rule's 'single scan per
+    partition producing per-column stat sketches')."""
     fields = {f.name: f.dataType for f in df.schema.fields}
-    columns = columns or list(fields)
-
     aggs = []
     for c in columns:
         dt = fields[c]
@@ -106,9 +96,13 @@ def profile(
             aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
             aggs.append(F.lit(None).cast("double").alias(f"{c}__stddev"))
             aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+    return aggs
 
-    wide = df.groupBy(F.expr(scope).cast("string").alias("scope")).agg(*aggs)
 
+def profile_long(wide: DataFrame, columns: list[str]) -> DataFrame:
+    """Unpivot the wide one-row-per-scope aggregate (column names as produced
+    by ``profile_aggs``, scope column ``__scope``) into the long
+    (scope, column, metric...) profile shape — driver-free explode."""
     per_col_structs = F.array(
         *[
             F.struct(
@@ -128,4 +122,32 @@ def profile(
             for c in columns
         ]
     )
-    return wide.select("scope", F.explode(per_col_structs).alias("s")).select("scope", "s.*")
+    return wide.select(
+        F.col("__scope").alias("scope"), F.explode(per_col_structs).alias("s")
+    ).select("scope", "s.*")
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    scope: str = "'all'",
+    approx_distinct: bool = True,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    na_sentinel: str = "NA",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """One-scan profile → long DataFrame:
+
+    (scope, column, n, n_null, n_blank, n_na, n_distinct,
+     min_value, max_value, mean, stddev, quantiles array<double>)
+
+    ``n_blank``/``n_na`` apply to string columns (reference blank/NA counters,
+    field.py:1435-1442); ``mean``/``stddev``/``quantiles`` to numeric columns;
+    timestamps profile min/max (temporal extents, field.py:2120-2131).
+    ``approx_distinct=False`` switches HLL to exact count_distinct — used by
+    the DuckDB-oracle correctness gate; production keeps the sketch.
+    """
+    columns = columns or list(df.columns)
+    aggs = profile_aggs(df, columns, approx_distinct, quantiles, na_sentinel, relative_error)
+    wide = df.groupBy(F.expr(scope).cast("string").alias("__scope")).agg(*aggs)
+    return profile_long(wide, columns)

@@ -8,11 +8,19 @@ key-set build locations.py:69-72), alias resolution with WARNING on use
 file membership (field.py:2206-2238).
 
 Scale design: dimensions are small (gazetteers, tool registries, level sets)
-— every membership check is ``distinct()`` on the fact side followed by a
-**broadcast** anti/semi join, so the fact table is scanned once, partially
-aggregated map-side to its distinct values, and never shuffled against the
+— every membership check is a count per distinct value on the fact side
+followed by a **broadcast** anti/semi join, so the fact table is partially
+aggregated map-side to its distinct values and never shuffled against the
 dimension. The reference's parent-memoization dict (taxa.py:1223-1275) is
-subsumed by the ``distinct()``.
+subsumed by the aggregation.
+
+Inside a full ``validate`` run, ALL categorical rules (level audits +
+referential membership, any number of columns) share ONE fact pass: values
+are stacked into (column, value) rows, counted per scope in a single
+aggregation (``categorical_counts``), and the tiny result is cached — each
+rule then derives its violations from the cached counts with broadcast
+joins only. Standalone ``eval_*`` entry points build a single-column counts
+plan themselves.
 """
 
 from __future__ import annotations
@@ -31,13 +39,43 @@ def _dim(dims: dict[str, DataFrame], name: str) -> DataFrame:
         raise KeyError(f"rule references unknown dimension {name!r}; have {sorted(dims)}") from None
 
 
-def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
-    """Values of ``rule.column`` must exist in dimension ``dim[dim_key]``.
+def categorical_counts(df: DataFrame, scope_expr: str, columns: list[str]) -> DataFrame:
+    """ONE scan serving every categorical rule: stack the audited columns into
+    (column-name, value) rows and count per scope. Output volume is bounded by
+    sum of per-column distinct cardinalities × scopes — tiny for categorical
+    columns — so the validator caches it and every audit below becomes a
+    broadcast join over cached rows, never a new fact pass."""
+    cols = sorted(set(columns))
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    return (
+        df.select(
+            F.expr(scope_expr).cast("string").alias("__scope"),
+            F.expr(f"stack({len(cols)}, {stack_args}) as (__col, __val)"),
+        )
+        .groupBy("__scope", "__col", "__val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
 
-    params: dim (dimension name), dim_key (column in the dimension),
-    alias_dim / alias_key / alias_primary (optional alias table: values that
-    match an alias instead of a primary name produce a WARNING violation,
-    reference locations.py:463-474), ignore_null (default True).
+
+def column_counts(df: DataFrame, scope_expr: str, column: str) -> DataFrame:
+    """Single-column counts in the ``categorical_counts`` shape (standalone
+    rule evaluation — no stack needed)."""
+    return (
+        df.select(
+            F.expr(scope_expr).cast("string").alias("__scope"),
+            F.lit(column).alias("__col"),
+            F.col(column).cast("string").alias("__val"),
+        )
+        .groupBy("__scope", "__col", "__val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+
+
+def ref_integrity_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> DataFrame:
+    """Membership of ``rule.column`` values (pre-counted per scope) in
+    dimension ``dim[dim_key]``; optional alias table produces WARNINGs
+    (reference locations.py:463-474). ``counts`` must carry the rule's column
+    only (the validator slices the shared cache by ``__col``).
 
     Emits one violation per distinct (scope, value) with an occurrence count
     — at 10^12 rows, per-row violation output for a systematically-bad value
@@ -47,16 +85,13 @@ def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     dim = _dim(dims, rule.params["dim"])
     dim_key = rule.params["dim_key"]
     ignore_null = bool(rule.params.get("ignore_null", True))
-    scope = F.expr(ruleset.scope)
     col = rule.column
 
-    fact = df.select(F.col(col).alias("__val"), scope.alias("__scope"))
-    if ignore_null:
-        fact = fact.where(F.col("__val").isNotNull())
-    counted = fact.groupBy("__scope", "__val").agg(F.count(F.lit(1)).alias("__n"))
-
+    counted = counts.where(F.col("__val").isNotNull()) if ignore_null else counts
     unknown = counted.join(
-        F.broadcast(dim.select(F.col(dim_key).alias("__val")).distinct()),
+        F.broadcast(
+            dim.select(F.col(dim_key).cast("string").alias("__val")).distinct()
+        ),
         on="__val",
         how="left_anti",
     )
@@ -68,7 +103,8 @@ def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
         alias_key = rule.params.get("alias_key", "alias")
         alias_primary = rule.params.get("alias_primary", dim_key)
         amap = alias.select(
-            F.col(alias_key).alias("__val"), F.col(alias_primary).alias("__primary")
+            F.col(alias_key).cast("string").alias("__val"),
+            F.col(alias_primary).cast("string").alias("__primary"),
         ).distinct()
         aliased = unknown.join(F.broadcast(amap), on="__val", how="inner")
         unknown = unknown.join(F.broadcast(amap.select("__val")), on="__val", how="left_anti")
@@ -101,7 +137,7 @@ def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
             unknown,
             rule,
             F.col("__scope"),
-            F.concat(F.lit(f"{col}="), F.coalesce(F.col("__val").cast("string"), F.lit("∅"))),
+            F.concat(F.lit(f"{col}="), F.coalesce(F.col("__val"), F.lit("∅"))),
             F.col("__val"),
             F.concat(
                 F.lit(f"{col} not in dimension {rule.params['dim']} ("),
@@ -116,36 +152,30 @@ def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     return res
 
 
-def eval_levels_audit(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
-    """Set-vs-set audit of a categorical column against declared levels —
-    BOTH directions, like the reference (field.py:1619-1631): values outside
-    the declared set are ERRORs; declared levels never used are WARNINGs
-    (per scope). params: levels: list[str] OR dim/dim_key; unused_severity.
-    """
-    scope = F.expr(ruleset.scope)
+def levels_audit_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> DataFrame:
+    """Set-vs-set audit of pre-counted categorical values against declared
+    levels — BOTH directions, like the reference (field.py:1619-1631): values
+    outside the declared set are ERRORs; declared levels never used are
+    WARNINGs (per scope). params: levels: list[str] OR dim/dim_key;
+    unused_severity."""
     col = rule.column
-    spark = df.sparkSession
+    spark = counts.sparkSession
 
     if "levels" in rule.params:
         levels_df = spark.createDataFrame(
-            [(str(v),) for v in rule.params["levels"]], f"{col}_level string"
+            [(str(v),) for v in rule.params["levels"]], "__level string"
         )
     else:
         levels_df = (
             _dim(dims, rule.params["dim"])
-            .select(F.col(rule.params["dim_key"]).cast("string").alias(f"{col}_level"))
+            .select(F.col(rule.params["dim_key"]).cast("string").alias("__level"))
             .distinct()
         )
 
-    used = (
-        df.select(F.col(col).cast("string").alias("__val"), scope.alias("__scope"))
-        .where(F.col("__val").isNotNull())
-        .groupBy("__scope", "__val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    used = counts.where(F.col("__val").isNotNull())
 
     undeclared = used.join(
-        F.broadcast(levels_df.withColumnRenamed(f"{col}_level", "__val")), "__val", "left_anti"
+        F.broadcast(levels_df.withColumnRenamed("__level", "__val")), "__val", "left_anti"
     )
     undeclared_v = as_violations(
         undeclared,
@@ -160,7 +190,7 @@ def eval_levels_audit(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
     # table (a scope whose column is entirely NULL has nothing to audit)
     scopes = used.select("__scope").distinct()
     declared_per_scope = scopes.crossJoin(F.broadcast(levels_df)).select(
-        "__scope", F.col(f"{col}_level").alias("__val")
+        "__scope", F.col("__level").alias("__val")
     )
     unused = declared_per_scope.join(used.select("__scope", "__val"), ["__scope", "__val"], "left_anti")
     unused_rule = Rule(
@@ -179,3 +209,15 @@ def eval_levels_audit(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
         F.lit("declared level never used"),
     )
     return undeclared_v.unionByName(unused_v)
+
+
+def eval_ref_integrity(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """Standalone entry point (registry): one fact pass for this rule only."""
+    counts = column_counts(df, ruleset.scope, rule.column)
+    return ref_integrity_from_counts(counts, rule, dims)
+
+
+def eval_levels_audit(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
+    """Standalone entry point (registry): one fact pass for this rule only."""
+    counts = column_counts(df, ruleset.scope, rule.column)
+    return levels_audit_from_counts(counts, rule, dims)

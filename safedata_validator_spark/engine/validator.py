@@ -18,7 +18,7 @@ Execution shape (cf. SURVEY §3.1 "Spark lifecycle equivalent"):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from safedata_validator_spark.engine import checkpoint as ckpt
 from safedata_validator_spark.engine.common import empty_violations, entity_col
-from safedata_validator_spark.engine.profiler import profile
 from safedata_validator_spark.rules.compilers import compile_row_rule
 from safedata_validator_spark.rules.model import ERROR, Rule, RuleSet
 from safedata_validator_spark.rules import registry
@@ -36,12 +35,16 @@ from safedata_validator_spark.rules import registry
 class RunResult:
     """Outputs of one validation run. ``violations``/``verdicts`` are the two
     result tables (SURVEY §1.1 'Validation report'); ``stats`` is the
-    single-scan column profile."""
+    single-scan column profile. ``cached`` holds the run's shared per-scope
+    aggregates (tiny: one row per scope / distinct categorical value) —
+    persisted so violations, verdicts and stats all derive from ONE fact
+    pass; call ``unpersist()`` when done with the result DataFrames."""
 
     violations: DataFrame
     verdicts: DataFrame
     stats: DataFrame | None
     ruleset_hash: str
+    cached: list[DataFrame] = dc_field(default_factory=list)
 
     def passed(self) -> bool:
         """Run-level verdict: zero ERROR-severity failures
@@ -49,6 +52,10 @@ class RunResult:
         return (
             self.violations.where(F.col("severity") == ERROR).limit(1).count() == 0
         )
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 class ValidationEngine:
@@ -89,25 +96,39 @@ class ValidationEngine:
         )
 
     # -- full evaluation ---------------------------------------------------
-    def violations(self, df: DataFrame, ruleset: RuleSet, dims: dict[str, DataFrame] | None = None) -> DataFrame:
-        dims = dims or {}
+    def _split_rules(self, df: DataFrame, ruleset: RuleSet) -> tuple[list[Rule], list[Rule]]:
         problems = registry.lint_ruleset(ruleset, df.columns)
         if problems and self.fail_on_lint:
             raise ValueError("ruleset lint failed:\n  " + "\n  ".join(problems))
-
         row_rules = [r for r in ruleset.rules if r.rule_type in registry.ROW_COMPILERS]
         plan_rules = [r for r in ruleset.rules if r.rule_type in registry.PLAN_EVALUATORS]
+        return row_rules, plan_rules
+
+    def violations(
+        self,
+        df: DataFrame,
+        ruleset: RuleSet,
+        dims: dict[str, DataFrame] | None = None,
+        shared: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        dims = dims or {}
+        row_rules, plan_rules = self._split_rules(df, ruleset)
 
         parts: list[DataFrame] = []
         if row_rules:
             parts.append(self._row_violations(df, ruleset, row_rules))
-        parts.extend(self._plan_violations(df, ruleset, plan_rules, dims))
+        parts.extend(self._plan_violations(df, ruleset, plan_rules, dims, shared))
         if not parts:
             return empty_violations(df.sparkSession)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def _plan_violations(
-        self, df: DataFrame, ruleset: RuleSet, plan_rules: list[Rule], dims: dict
+        self,
+        df: DataFrame,
+        ruleset: RuleSet,
+        plan_rules: list[Rule],
+        dims: dict,
+        shared: dict[str, DataFrame] | None = None,
     ) -> list[DataFrame]:
         """Evaluate plan-level rules with cross-rule fusion. Rules that share
         a relational shape share ONE pass over the data:
@@ -126,12 +147,16 @@ class ValidationEngine:
         """
         from collections import defaultdict
 
-        from safedata_validator_spark.engine import extents, ordering, uniqueness
+        from safedata_validator_spark.engine import extents, ordering, referential, uniqueness
 
+        shared = shared or {}
         parts: list[DataFrame] = []
         handled: set[int] = set()
 
         # -- adjacency fusion ------------------------------------------------
+        # ALL adjacency rules sharing (group, order) evaluate in ONE projection
+        # over ONE pairs plan — a single consumer guarantees the self-join runs
+        # once (separate consumers defeat ReuseExchange under column pruning)
         adj = [r for r in plan_rules if r.rule_type in ("monotone", "transition_grammar")]
         by_key: dict[tuple, list[Rule]] = defaultdict(list)
         for r in adj:
@@ -139,14 +164,8 @@ class ValidationEngine:
         for (group, order, method, block_size), rules in by_key.items():
             values = sorted({r.column for r in rules})
             pairs = ordering.build_pairs(df, ruleset, group, order, values, block_size, method)
-            for r in rules:
-                fn = (
-                    ordering.monotone_from_pairs
-                    if r.rule_type == "monotone"
-                    else ordering.grammar_from_pairs
-                )
-                parts.append(fn(pairs, r, group, order))
-                handled.add(id(r))
+            parts.append(ordering.fused_pairs_violations(pairs, rules, group, order))
+            handled.update(id(r) for r in rules)
 
         # -- sequential + unique_key fusion -----------------------------------
         seq_rules = [r for r in plan_rules if r.rule_type == "sequential"]
@@ -165,10 +184,33 @@ class ValidationEngine:
                     handled.add(id(ur))
 
         # -- extent fusion -----------------------------------------------------
+        # inside a full validate() run the min/max fold rides the shared
+        # per-scope aggregate (scope_agg) — zero extra fact passes
         extent_rules = [r for r in plan_rules if r.rule_type == "extent"]
         if extent_rules:
-            parts.extend(extents.eval_extents_fused(df, extent_rules, ruleset))
+            scope_agg = shared.get("scope_agg")
+            if scope_agg is not None:
+                parts.extend(extents.extents_from_agg(scope_agg, extent_rules))
+            else:
+                parts.extend(extents.eval_extents_fused(df, extent_rules, ruleset))
             handled.update(id(r) for r in extent_rules)
+
+        # -- categorical fusion ------------------------------------------------
+        # level audits + referential membership over ANY number of columns
+        # derive from one cached stacked-counts pass (see referential module)
+        cat_counts = shared.get("cat_counts")
+        if cat_counts is not None:
+            for rule in plan_rules:
+                if id(rule) in handled:
+                    continue
+                if rule.rule_type == "levels_audit":
+                    sliced = cat_counts.where(F.col("__col") == rule.column).drop("__col")
+                    parts.append(referential.levels_audit_from_counts(sliced, rule, dims))
+                    handled.add(id(rule))
+                elif rule.rule_type == "ref_integrity":
+                    sliced = cat_counts.where(F.col("__col") == rule.column).drop("__col")
+                    parts.append(referential.ref_integrity_from_counts(sliced, rule, dims))
+                    handled.add(id(rule))
 
         # -- everything else through the registry ------------------------------
         for rule in plan_rules:
@@ -176,17 +218,26 @@ class ValidationEngine:
                 parts.append(registry.PLAN_EVALUATORS[rule.rule_type](df, rule, ruleset, dims))
         return parts
 
-    def verdicts(self, df: DataFrame, ruleset: RuleSet, violations: DataFrame) -> DataFrame:
+    def verdicts(
+        self,
+        df: DataFrame,
+        ruleset: RuleSet,
+        violations: DataFrame,
+        scope_rows: DataFrame | None = None,
+    ) -> DataFrame:
         """(scope, rule_id, severity, n_rows, n_failed, passed) — one row per
         declared rule per scope (zero-filled), plus rows for derived rule ids
-        (e.g. '.alias', '.unused') that only exist when violations occur."""
+        (e.g. '.alias', '.unused') that only exist when violations occur.
+        ``scope_rows`` (scope, n_rows) may be supplied from the run's shared
+        per-scope aggregate to avoid a dedicated fact pass."""
         spark = df.sparkSession
         counts = violations.groupBy("scope", "rule_id", "severity").agg(
             F.count(F.lit(1)).alias("n_failed")
         )
-        scope_rows = df.groupBy(F.expr(ruleset.scope).cast("string").alias("scope")).agg(
-            F.count(F.lit(1)).alias("n_rows")
-        )
+        if scope_rows is None:
+            scope_rows = df.groupBy(F.expr(ruleset.scope).cast("string").alias("scope")).agg(
+                F.count(F.lit(1)).alias("n_rows")
+            )
         declared = spark.createDataFrame(
             [(r.rule_id, r.severity) for r in ruleset.rules], "rule_id string, severity string"
         )
@@ -202,6 +253,19 @@ class ValidationEngine:
             .select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")
         )
 
+    #: Shared aggregates larger than this many rows stay distributed
+    #: (persisted) instead of being collected to the driver.
+    localize_cap = 500_000
+
+    def _localize(self, agg: DataFrame) -> tuple[DataFrame, bool]:
+        """Materialize a (by-design tiny) aggregate as a driver-local table so
+        every downstream consumer reads rows, never the build plan. Falls back
+        to ``persist()`` if the aggregate exceeds ``localize_cap`` rows."""
+        rows = agg.limit(self.localize_cap + 1).collect()
+        if len(rows) > self.localize_cap:
+            return agg.persist(), False
+        return agg.sparkSession.createDataFrame(rows, agg.schema), True
+
     def validate(
         self,
         df: DataFrame,
@@ -210,14 +274,81 @@ class ValidationEngine:
         with_stats: bool = True,
         approx_distinct: bool = True,
     ) -> RunResult:
-        viols = self.violations(df, ruleset, dims)
-        verd = self.verdicts(df, ruleset, viols)
-        stats = (
-            profile(df, scope=ruleset.scope, approx_distinct=approx_distinct)
-            if with_stats
-            else None
+        """Full run with cross-output pass fusion. Fact passes, total:
+
+        1. fused row-rule scan (the only pass touching heavy text columns);
+        2. ONE per-scope aggregation = profiler sketches + extent min/max +
+           verdict row counts (persisted: rows = #scopes);
+        3. ONE stacked categorical-counts pass for every levels_audit /
+           ref_integrity column (persisted: rows ≈ Σ distinct values);
+        4. key-count shuffle shared by sequential + unique_key;
+        5-6. adjacency self-join (both sides), ALL adjacency rules fused.
+
+        Everything else is broadcast joins / re-aggregation over the tiny
+        shared aggregates — nothing re-reads the fact table.
+
+        The shared aggregates are computed EAGERLY (two small jobs at call
+        time) and re-injected as driver-local tables: their size is bounded
+        by #scopes and Σ distinct categorical-column values — both bounded
+        by design (verdict partitions; level/membership domains) — and a
+        local table guarantees every downstream consumer reads the computed
+        rows instead of replaying the fact scan inside broadcast-subquery
+        jobs, which do not share adaptive query stages with the main action.
+        Should a categorical column turn out high-cardinality, the aggregate
+        falls back to a persisted distributed plan (``localize_cap`` rows).
+        """
+        from safedata_validator_spark.engine import extents as ext
+        from safedata_validator_spark.engine import referential
+        from safedata_validator_spark.engine.profiler import profile_aggs, profile_long
+
+        dims = dims or {}
+        row_rules, plan_rules = self._split_rules(df, ruleset)
+
+        extent_rules = [r for r in plan_rules if r.rule_type == "extent"]
+        cat_cols = sorted(
+            {
+                r.column
+                for r in plan_rules
+                if r.rule_type in ("levels_audit", "ref_integrity") and r.column
+            }
         )
-        return RunResult(viols, verd, stats, ruleset.content_hash())
+        prof_cols = list(df.columns) if with_stats else []
+
+        aggs = [F.count(F.lit(1)).alias("__n_rows")]
+        if prof_cols:
+            aggs += profile_aggs(df, prof_cols, approx_distinct=approx_distinct)
+        if extent_rules:
+            aggs += ext.extent_aggs(extent_rules)
+        scope_agg_plan = df.groupBy(
+            F.expr(ruleset.scope).cast("string").alias("__scope")
+        ).agg(*aggs)
+        scope_agg, was_local = self._localize(scope_agg_plan)
+
+        cached = [] if was_local else [scope_agg]
+        shared: dict[str, DataFrame] = {"scope_agg": scope_agg}
+        if cat_cols:
+            cat_plan = referential.categorical_counts(df, ruleset.scope, cat_cols)
+            cat_counts, was_local = self._localize(cat_plan)
+            shared["cat_counts"] = cat_counts
+            if not was_local:
+                cached.append(cat_counts)
+
+        parts: list[DataFrame] = []
+        if row_rules:
+            parts.append(self._row_violations(df, ruleset, row_rules))
+        parts.extend(self._plan_violations(df, ruleset, plan_rules, dims, shared))
+        viols = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            if parts
+            else empty_violations(df.sparkSession)
+        )
+
+        scope_rows = scope_agg.select(
+            F.col("__scope").alias("scope"), F.col("__n_rows").alias("n_rows")
+        )
+        verd = self.verdicts(df, ruleset, viols, scope_rows=scope_rows)
+        stats = profile_long(scope_agg, prof_cols) if with_stats else None
+        return RunResult(viols, verd, stats, ruleset.content_hash(), cached=cached)
 
     # -- resumable runs ------------------------------------------------------
     def validate_resumable(
