@@ -94,6 +94,18 @@ def ngram_jaccard_pairs(
     )
 
 
+def signatures_from_shingles(sh: DataFrame, num_perm: int = 64) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) DataFrame — exposed so
+    pipelines that also need the shingles for verification (minhash_lsh_dedup)
+    build the shingle plan once."""
+    hashed = sh.withColumn("__h", F.xxhash64("shingle"))
+    # the string is hashed ONCE; permutations derive from the 64-bit value
+    # (hashing an int is ~10× cheaper than re-hashing the string num_perm×)
+    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
+    sig = hashed.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
@@ -101,18 +113,17 @@ def minhash_signatures(
     shingle set, computed as ONE aggregation (num_perm min() columns over the
     exploded shingles — partial aggregation keeps the shuffle at
     |docs| × num_perm, not |shingles|)."""
-    sh = word_shingles(df, id_col, text_col, n).withColumn("__h", F.xxhash64("shingle"))
-    # the string is hashed ONCE; permutations derive from the 64-bit value
-    # (hashing an int is ~10× cheaper than re-hashing the string num_perm×)
-    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
+    return signatures_from_shingles(word_shingles(df, id_col, text_col, n), num_perm)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, num_perm: int | None = None
+) -> DataFrame:
     """Band the signatures and bucket-join: pairs agreeing on ≥1 band.
-    → (id_a, id_b) distinct."""
-    num_perm = len(signatures.select("signature").first()["signature"])
+    → (id_a, id_b) distinct. Pass ``num_perm`` when known — introspecting it
+    via ``first()`` costs one full execution of the signature pipeline."""
+    if num_perm is None:
+        num_perm = len(signatures.select("signature").first()["signature"])
     rows_per_band = num_perm // bands
     banded = signatures.select(
         "id",
@@ -163,9 +174,9 @@ def minhash_lsh_dedup(
     verified with exact Jaccard over the shingle sets →
     (id_a, id_b, jaccard). Only candidate pairs are verified — the exact
     join runs on the (small) candidate set, not all pairs."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    cand = lsh_candidate_pairs(sig, bands)
     sh = word_shingles(df, id_col, text_col, n)
+    sig = signatures_from_shingles(sh, num_perm)
+    cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # equi-join on (id, shingle) both hops — the shingle is IN the join key,
     # so each candidate pair costs |A∩B| joined rows, not |A|×|B|
