@@ -136,6 +136,110 @@ def lsh_topk(
     )
 
 
+def _assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Vectorized assignment of unit-normalised vectors to their ``nprobe``
+    nearest (cosine) centroids — one numpy matmul per Arrow batch."""
+    cents = centroids  # (C, dim), rows unit-norm
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms) @ cents.T  # (batch, C)
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # unordered top-p
+        order = np.take_along_axis(sims, top, axis=1).argsort(axis=1)[:, ::-1]
+        ranked = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        return pd.Series([row.tolist() for row in ranked])
+
+    return assign
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    lloyd_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_centroids`` vectors with the lowest ``xxhash64(id, seed)`` (a seeded
+    pseudo-random sample needing no Date.now-style nondeterminism), refined
+    with ``lloyd_iters`` k-means iterations. Each iteration is one fact pass:
+    assignment via the vectorized UDF, centroid update via
+    posexplode → groupBy(cluster, dim) — shuffle volume C × dim, tiny.
+    Returns a (C, dim) unit-norm numpy array (driver-side: the quantizer is
+    dimension-table-sized, like every other dim in this engine)."""
+    seeded = embeddings.select(
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+    )
+    rows = seeded.orderBy("__h").limit(n_centroids).collect()
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    vecs = embeddings.select(F.col(vec_col).alias("v"))
+    for _ in range(lloyd_iters):
+        assign = _assign_udf(cents, nprobe=1)
+        assigned = vecs.select(F.element_at(assign(F.col("v")), 1).alias("cid"), "v")
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["cid"], np.zeros(cents.shape[1]))[r["pos"]] = r["s"]
+        for cid, v in acc.items():
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                new[cid] = v / norm
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path beside ``lsh_topk``:
+    a coarse quantizer (k-means over cosine) partitions the corpus into
+    inverted lists; each query scores only its ``nprobe`` nearest lists.
+    → (query_id, vec_id, sim, rank). Recall rises with nprobe (exact at
+    nprobe=n_centroids); expected cost per query is nprobe/C of the corpus.
+    At cluster scale the corpus assignment is computed once and persisted as
+    a bucketed/partitioned-by-cid table; queries then prune partitions."""
+    cents = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col, seed, lloyd_iters)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    ).withColumn("cid", F.element_at(_assign_udf(cents, 1)(F.col("__vec")), 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("cid", F.explode(_assign_udf(cents, nprobe)(F.col("__qvec"))))
+    scored = corpus.join(F.broadcast(q), "cid").where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "vec_id", cosine(F.col("__vec"), F.col("__qvec")).alias("sim")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -795,6 +795,17 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours — the second ANN scale path beside
+    LSH (coarse k-means quantizer + inverted-list probing)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(e, queries, k=TOPK_K, n_centroids=16, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
 def q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine run: full rule set over the synthetic bad transcript
     table (deterministic, independent of sf_dir scale)."""
@@ -866,6 +877,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 ORACLES = {

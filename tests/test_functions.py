@@ -150,6 +150,22 @@ def test_lsh_topk_recall_vs_brute_force(spark, vectors):
     assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(3, 7)}
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, vectors):
+    queries = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = sim.brute_force_topk(vectors, queries, k=3)
+    ann = sim.ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.6, recall
+    # probing every list recovers the exact result
+    exact = sim.ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=4)
+    assert {(r["query_id"], r["vec_id"]) for r in exact.collect()} == bf_set
+    # deterministic: same seed → same quantizer → same output
+    again = sim.ivf_topk(vectors, queries, k=3, n_centroids=4, nprobe=2)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in ann.collect()}
+
+
 def test_multimodal_features_and_rules(spark, dims):
     media = mm.synth_media(spark, n=30)
     feats = mm.extract_features(media)
