@@ -85,6 +85,77 @@ def test_stream_violations_and_windowed_verdicts(spark, tmp_path):
     assert sum(r["n_failed__text_not_blank"] for r in rows) >= 0
 
 
+def test_stateful_sequence_violations_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-conversation state across
+    micro-batches AND across query restarts (checkpointed state): a gap,
+    a timestamp regression and a grammar break are each flagged in the
+    batch where the offending turn arrives."""
+    from datetime import datetime, timedelta
+
+    from safedata_validator_spark.streaming.validate_stream import (
+        stateful_sequence_violations,
+    )
+
+    src = str(tmp_path / "seq_src")
+    ck = str(tmp_path / "seq_ck")
+    schema = "conv_id string, turn_idx long, role string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "seq_out")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = stateful_sequence_violations(
+            stream,
+            transitions=[["user", "assistant"], ["assistant", "user"]],
+            allowed_start=["user"],
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r["conv_id"], r["turn_idx"], r["rule_id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: conv A clean (1,2), conv B opens with a non-user role
+    write_batch(
+        [
+            ("A", 1, "user", t0),
+            ("A", 2, "assistant", t0 + timedelta(minutes=1)),
+            ("B", 1, "assistant", t0),
+        ]
+    )
+    got1 = run_once("seq1")
+    assert ("B", 1, "stream.grammar") in got1
+    assert not any(c == "A" for c, _, _ in got1)
+
+    # batch 2 (separate restart, state from the checkpoint): conv A skips
+    # turn 3 and regresses in time; conv B continues legally from state
+    write_batch(
+        [
+            ("A", 4, "user", t0 - timedelta(minutes=5)),
+            ("B", 2, "user", t0 + timedelta(minutes=2)),
+        ]
+    )
+    got2 = run_once("seq2")  # cumulative parquet sink: got1 ∪ batch-2 rows
+    assert ("A", 4, "stream.sequential") in got2
+    assert ("A", 4, "stream.monotone") in got2
+    # B 1→2 with assistant→user is a legal transition: state carried the role
+    assert {v for v in got2 if v[0] == "B"} == {("B", 1, "stream.grammar")}
+
+
 def test_stream_ruleset_restriction():
     rs = transcript_ruleset()
     srs = stream_row_ruleset(rs)
