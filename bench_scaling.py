@@ -184,6 +184,19 @@ dimension joins broadcast; shuffle partitions are sized by data volume
 (~1M rows each), the same rule a real deployment uses. A real 4N-executor
 cluster multiplies memory controllers and shuffle disks with node count —
 exactly the resource this single-JVM sandbox cannot scale.
+
+## Measurement history across host windows (round 1)
+
+The shared microVM host drifts up to 2.4× between time windows, so single
+numbers under-determine the picture. Observed across round-1 windows at 40M
+turns: local[8] 179–282 s, local[32] 68–164 s, efficiency 0.37–0.76
+(best-window 0.76 with the pre-fusion engine; the memory-streaming ceiling
+itself ranged 0.35–1.2 across the same windows). After the six-pass fusion
+refactor the same job's local[32] wall landed at ~104 s in a mid-range
+window with per-turn work REDUCED (the fusion's main effect shows at small
+job sizes, where fixed per-pass cost dominated: sf0.1 bench 4M-turn
+validate went 55→38 s in one window). Efficiency numbers should always be
+read against the same-instant ceilings in the table above.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
