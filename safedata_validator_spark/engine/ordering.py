@@ -251,11 +251,18 @@ def adjacent_pairs_join(
 def rule_pair_key(rule: Rule, ruleset) -> tuple:
     """Fusion key: adjacency rules sharing (group, order, method, block_size)
     are evaluated from ONE shared pairs plan (the validator groups rules by
-    this key; identical subplans collapse via ReuseExchange)."""
+    this key; identical subplans collapse via ReuseExchange).
+
+    Default adjacency is the blocked-window method: ONE full-data shuffle
+    (vs two for the self-join), measured 1.3-2.1× faster at 40M turns, and
+    it is the bounded-partition salting strategy the north rule mandates for
+    hot conversations. ``adjacency: join`` remains available where the dense
+    1..n order makes the equi-join preferable (e.g. pre-bucketed tables
+    where the join becomes shuffle-free)."""
     return (
         rule.params.get("group", ruleset.key_cols[0]),
         rule.params.get("order", "turn_idx"),
-        rule.params.get("adjacency", "join"),
+        rule.params.get("adjacency", "window"),
         int(rule.params.get("block_size", DEFAULT_BLOCK_SIZE)),
     )
 

@@ -828,7 +828,7 @@ SQL_TRANSCRIPT_VERDICTS = """
 SELECT * FROM (VALUES
   ('all', 'conv_id.not_blank', 'ERROR', CAST(3401 AS BIGINT), CAST(0 AS BIGINT), true),
   ('all', 'key.unique', 'ERROR', 3401, 1, false),
-  ('all', 'role.grammar', 'ERROR', 3401, 6, false),
+  ('all', 'role.grammar', 'ERROR', 3401, 7, false),
   ('all', 'role.in_levels', 'ERROR', 3401, 2, false),
   ('all', 'role.levels_audit', 'ERROR', 3401, 2, false),
   ('all', 'role.not_padded', 'ERROR', 3401, 1, false),

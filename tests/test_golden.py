@@ -63,7 +63,11 @@ EXPECTED = {
     "key.unique": 1,
     "turn_idx.sequential": 2,
     "ts.monotone": 1,
-    "role.grammar": 6,
+    # 7 = the six planted forbidden transitions PLUS the duplicate-key pair in
+    # conv-00007: the blocked-window adjacency sorts dup turn_idx rows next to
+    # each other, so a sequential reader (like the reference's row loop) sees
+    # user → user. The join adjacency cannot see dup-pair transitions.
+    "role.grammar": 7,
     "ts.extent_hard": 1,
     "ts.extent_soft": 1,
 }

@@ -60,30 +60,48 @@ def test_row_rules_fuse_into_single_scan(spark):
     assert plan.count("Relation") == 1  # one scan feeds all three rules
 
 
-def test_adjacency_default_has_no_window(spark):
-    """The skew-safety property itself: the default (join) adjacency path
-    must contain NO Window node — a Window.partitionBy(conv_id) is exactly
-    the hot-key hazard the engine exists to avoid. Also: Catalyst pushes the
-    monotone comparison INTO the join (inner join with condition), so
-    non-violating pairs never materialise. Per-branch column pruning gives
-    each rule its own narrow exchange (as cheap as a shared wide one)."""
+def test_adjacency_default_windows_are_block_bounded(spark):
+    """The skew-safety property itself: the default (blocked-window)
+    adjacency never builds an unbounded per-conversation window over raw
+    rows — a bare Window.partitionBy(conv_id).orderBy(turn_idx) is exactly
+    the hot-key hazard the engine exists to avoid. Every window spec in the
+    plan must involve __block: phase-1 lags partition by (conv_id, __block)
+    (≤ block_size rows per partition regardless of conversation size); the
+    per-conversation boundary stitch orders by __block and runs over the
+    per-block summary that a HashAggregate keyed (conv_id, __block) has
+    already shrunk by block_size×. The join adjacency stays available and
+    window-free (useful when the table is bucketed so the join is
+    shuffle-free)."""
+    import re
+
     df = transcripts_good(spark, n_convs=5, mean_turns=8, hot_factor=2)
-    rs = RuleSet(
-        name="t", key_cols=["conv_id", "turn_idx"],
-        rules=[
-            Rule("m", "monotone", column="ts",
-                 params={"group": "conv_id", "order": "turn_idx"}),
-            Rule("g", "transition_grammar", column="role",
-                 params={"group": "conv_id", "order": "turn_idx",
-                         "transitions": [["system", "user"], ["user", "assistant"],
-                                         ["assistant", "tool"], ["assistant", "user"],
-                                         ["tool", "assistant"]],
-                         "allowed_start": ["system"]}),
-        ],
-    )
-    plan = _physical(ValidationEngine().violations(df, rs))
-    assert "Window" not in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    def make_rs(**extra):
+        return RuleSet(
+            name="t", key_cols=["conv_id", "turn_idx"],
+            rules=[
+                Rule("m", "monotone", column="ts",
+                     params={"group": "conv_id", "order": "turn_idx", **extra}),
+                Rule("g", "transition_grammar", column="role",
+                     params={"group": "conv_id", "order": "turn_idx",
+                             "transitions": [["system", "user"], ["user", "assistant"],
+                                             ["assistant", "tool"], ["assistant", "user"],
+                                             ["tool", "assistant"]],
+                             "allowed_start": ["system"], **extra}),
+            ],
+        )
+
+    plan = _physical(ValidationEngine().violations(df, make_rs()))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    assert all("__block" in s for s in specs), specs
+    # the block summary (max_by-based aggregate) keyed (conv_id, __block);
+    # Hash/Object/Sort aggregate variants print keys= or key=
+    assert re.search(r"Aggregate\(keys?=\[conv_id[^\]]*__block", plan), plan[:2000]
+
+    plan_join = _physical(ValidationEngine().violations(df, make_rs(adjacency="join")))
+    assert "Window" not in plan_join, plan_join[:2000]
+    assert "BroadcastHashJoin" in plan_join or "SortMergeJoin" in plan_join
 
 
 def test_sequential_unique_share_level1_exchange(spark):
