@@ -55,12 +55,19 @@ def run(spark, sf_dir: str, sf: float) -> dict:
 
     # The flagship metric runs FIRST: after 14 other queries the single
     # shared JVM carries enough heap fragmentation / broadcast garbage to
-    # inflate a large job ~2-3× — measured, not hypothetical. The synthetic
-    # input is NOT cached: the generator is deterministic column math,
-    # recomputed identically per scan (and large inputs must not be pinned
-    # in this VM's modest heap — see bench_scaling.py notes).
+    # inflate a large job ~2-3× — measured, not hypothetical. The input is a
+    # materialized parquet table (written once, untimed, deterministic) so
+    # the timed job exercises the production scan path — columnar IO with
+    # per-pass column pruning — exactly as it would against Iceberg.
     n_turns = max(int(TURNS_PER_SF * sf), 100_000)
-    df = transcripts_scaled(spark, n_turns)
+    src = os.environ.get(
+        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}"
+    )
+    try:
+        df = spark.read.parquet(src)
+    except Exception:
+        transcripts_scaled(spark, n_turns).write.mode("overwrite").parquet(src)
+        df = spark.read.parquet(src)
     engine = ValidationEngine()
     rs = transcript_ruleset()
     d = dims(spark)

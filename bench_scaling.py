@@ -48,7 +48,15 @@ from safedata_validator_spark.rules.presets import transcript_ruleset
 parts = max(cores, n_turns // 1_000_000)
 spark = build_session(app_name=f"sdv-scale-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=parts)
-df = transcripts_scaled(spark, n_turns)
+# IDENTICAL input at every parallelism level: a parquet table materialized
+# once (untimed, deterministic) — the timed job exercises the production
+# scan path (columnar IO + per-pass column pruning), not the generator.
+src = f"/tmp/sdv_bench_transcripts_{n_turns}"
+try:
+    df = spark.read.parquet(src)
+except Exception:
+    transcripts_scaled(spark, n_turns).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
 engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
 t0 = time.perf_counter()
 res = engine.validate(df, rs, d, with_stats=True)

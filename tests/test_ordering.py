@@ -60,6 +60,40 @@ def test_sequential_detects_each_failure_mode(spark):
     assert "nulls=1" in got["g=null"]
 
 
+def test_sequential_fast_path_equals_exact(spark):
+    """validate()'s hash-sum fast path (conv-level agg + drilldown on flagged
+    conversations) must produce byte-identical violation rows to the exact
+    key-level method, including the shared unique_key report — across gap /
+    restart / duplicate / null / compensated dup+gap shapes."""
+    data = (
+        [("ok", i) for i in range(1, 6)]
+        + [("gap", i) for i in [1, 2, 4, 5]]
+        + [("zero", i) for i in [0, 1, 2]]
+        + [("dup", i) for i in [1, 2, 2, 3]]
+        + [("null", 1), ("null", None), ("null", 3)]
+        # dup+gap with matching count/min/max — only the hash sums catch it
+        + [("swap", i) for i in [1, 2, 2, 4]]
+    )
+    df = spark.createDataFrame(data, "g string, i int")
+
+    def run(**extra):
+        rs = RuleSet(
+            name="t", key_cols=["g", "i"],
+            rules=[
+                Rule("seq", "sequential", column="i",
+                     params={"group": "g", "order": "i", **extra}),
+                Rule("u", "unique_key", params={"keys": ["g", "i"]}),
+            ],
+        )
+        res = ENGINE.validate(df, rs, with_stats=False)
+        return sorted(tuple(r) for r in res.violations.collect())
+
+    fast, exact = run(), run(method="exact")
+    assert fast == exact
+    flagged = {t[3] for t in fast}
+    assert {"g=gap", "g=zero", "g=dup", "g=null", "g=swap"} <= flagged
+
+
 def test_monotone_strict_vs_nonstrict(spark):
     df = spark.createDataFrame(
         [("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 9.0), ("a", 4, 12.0)],
