@@ -42,10 +42,10 @@ def test_good_has_zero_violations(spark, good, dims):
 #   conv-4 t2 'operator'→ role.in_levels ×1, levels_audit ×1, grammar ×2
 #   conv-5 t4 unknown tool                       → tool.ref_integrity ×1
 #   conv-6 t4 alias 'shell'                      → .alias WARNING ×1
-#   conv-7 t2 duplicated row → key.unique ×1, turn_idx.sequential ×1
-#       (join-adjacency pairs rows by turn_idx arithmetic, so the twin rows
-#        at the SAME index form no user→user edge — density violations are
-#        owned by sequential/unique, not double-reported by the grammar)
+#   conv-7 t2 duplicated row → key.unique ×1, turn_idx.sequential ×1,
+#        grammar ×1 (the twin rows sort adjacent in the blocked-window
+#        adjacency and their roles form a forbidden user→user edge — what a
+#        sequential reader of the rows would see)
 #   conv-8 gap at t5                             → turn_idx.sequential ×1
 #   conv-9 t6 ts −1h                             → ts.monotone ×1
 #   conv-10 t1 ts 2021 (soft), conv-11 t1 ts 2019 (hard)
@@ -117,3 +117,18 @@ def test_scoped_verdicts(spark, bad, dims):
         for r in res.verdicts.where(F.col("rule_id") == "ts.extent_hard").collect()
     }
     assert hard["2019-06"] == 1 and hard["2024-01"] == 0
+
+
+def test_localize_fallback_keeps_exact_counts(spark, bad, dims):
+    """When a shared aggregate exceeds localize_cap the engine falls back to
+    a persisted distributed plan (and skips the hash-sum sequence screen,
+    which needs the driver-local max) — violation counts must be identical."""
+    eng = ValidationEngine()
+    eng.localize_cap = 0  # force the distributed fallback for every aggregate
+    res = eng.validate(bad, transcript_ruleset(), dims, with_stats=False)
+    counts = {
+        r["rule_id"]: r["n"]
+        for r in res.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    res.unpersist()
+    assert counts == EXPECTED, counts
