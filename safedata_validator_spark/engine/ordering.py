@@ -63,12 +63,9 @@ def adjacent_pairs(
     w_in = Window.partitionBy(group, "__block").orderBy(F.col(order))
     lagged = base.select(
         "*",
-        F.lag(F.col(order)).over(w_in).alias(f"__prev_{order}"),
-        *[F.lag(F.col(v)).over(w_in).alias(f"__prev_{v}") for v in values],
+        F.lag(F.col(order)).over(w_in).alias(f"__lag_{order}"),
+        *[F.lag(F.col(v)).over(w_in).alias(f"__lag_{v}") for v in values],
     )
-
-    heads = lagged.where(F.col(f"__prev_{order}").isNull())
-    body = lagged.where(F.col(f"__prev_{order}").isNotNull())
 
     summ = base.groupBy(group, "__block").agg(
         F.max(F.col(order)).alias("__last_ord"),
@@ -82,21 +79,27 @@ def adjacent_pairs(
         *[F.lag(f"__lastv_{v}").over(w_blk).alias(f"__pb_{v}") for v in values],
     )
 
-    heads_fixed = (
-        heads.drop(f"__prev_{order}", *[f"__prev_{v}" for v in values])
-        .join(bounds, on=[group, "__block"], how="left")
-        .select(
-            group,
-            order,
-            *values,
-            *carry,
-            "__block",
-            F.col("__pb_ord").alias(f"__prev_{order}"),
-            *[F.col(f"__pb_{v}").alias(f"__prev_{v}") for v in values],
-        )
+    # ONE consumer of the big window: every row left-joins its block's
+    # boundary summary on (group, __block) — the window's own partitioning
+    # and sort prefix satisfy the join's requirements, so no new exchange or
+    # sort of the data side — and block-head rows (in-block lag IS NULL)
+    # coalesce to the previous block's last values. (The previous
+    # heads/body-union formulation consumed the window twice, which
+    # materialized the whole lag pass — and its fact scan — twice.)
+    is_head = F.col(f"__lag_{order}").isNull()
+    stitched = lagged.join(bounds, on=[group, "__block"], how="left").select(
+        group,
+        order,
+        *values,
+        *carry,
+        "__block",
+        F.when(is_head, F.col("__pb_ord")).otherwise(F.col(f"__lag_{order}")).alias(f"__prev_{order}"),
+        *[
+            F.when(is_head, F.col(f"__pb_{v}")).otherwise(F.col(f"__lag_{v}")).alias(f"__prev_{v}")
+            for v in values
+        ],
     )
-    cols = [group, order, *values, *carry, "__block", f"__prev_{order}", *[f"__prev_{v}" for v in values]]
-    return body.select(*cols).unionByName(heads_fixed.select(*cols))
+    return stitched
 
 
 def key_counts(df: DataFrame, group: str, order: str, scope_expr: str) -> DataFrame:

@@ -271,13 +271,16 @@ class ValidationEngine:
         declared = spark.createDataFrame(
             [(r.rule_id, r.severity) for r in ruleset.rules], "rule_id string, severity string"
         )
-        grid = scope_rows.crossJoin(F.broadcast(declared)).unionByName(
-            scope_rows.join(counts.select("scope", "rule_id", "severity"), "scope").select(
-                "scope", "n_rows", "rule_id", "severity"
-            )
-        ).distinct()
+        # ONE reference to the violations subtree: the declared grid
+        # full-outer-joins the observed counts (derived rule ids such as
+        # '.alias'/'.unused' enter through the counts side), then row counts
+        # attach from the (driver-local) scope_rows. The previous
+        # grid-union-then-join shape embedded the violations plan twice,
+        # doubling every fact scan when violations was not persisted.
+        grid = scope_rows.select("scope").crossJoin(F.broadcast(declared))
+        merged = grid.join(counts, ["scope", "rule_id", "severity"], "full_outer")
         return (
-            grid.join(counts, ["scope", "rule_id", "severity"], "left")
+            merged.join(scope_rows, "scope", "left")
             .withColumn("n_failed", F.coalesce("n_failed", F.lit(0)))
             .withColumn("passed", (F.col("severity") != ERROR) | (F.col("n_failed") == 0))
             .select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")

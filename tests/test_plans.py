@@ -129,6 +129,39 @@ def test_sequential_unique_share_level1_exchange(spark):
     assert "ReusedExchange" in final or final.count("Exchange hashpartitioning(conv_id") <= 2
 
 
+def test_full_validate_bounds_fact_scans(spark, dims, tmp_path):
+    """THE scale property of the fused engine: a full validate() run over a
+    parquet fact table touches it a bounded number of times. Budget:
+    1 eager shared per-scope aggregate (+1 eager categorical-counts pass),
+    then inside the violations plan: row-rule scan, conversation-level
+    sequence screen, flagged-conversation drilldown, blocked-window
+    adjacency (lag pass + block summary) — extents / level audits /
+    ref-integrity / verdict row counts / stats all derive from the two
+    cached driver-local aggregates and add ZERO scans."""
+    from safedata_validator_spark.data.synth import transcripts_bad
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    src = str(tmp_path / "fact")
+    transcripts_bad(spark).write.parquet(src)
+    df = spark.read.parquet(src)
+    res = ValidationEngine().validate(df, transcript_ruleset(), dims, with_stats=True)
+    # Static budget 7: row(1) + adjacency lag pass(1) + block summary(1) +
+    # sequence screen(1) + drilldown probe(1) + a canonically-identical
+    # duplicate of screen+probe under the unique_key branch (2) — the
+    # duplicate exchanges are reused at runtime (see
+    # test_sequential_unique_share_level1_exchange).
+    for name, d, budget in [
+        ("violations", res.violations, 7),
+        ("verdicts", res.verdicts, 7),  # = violations subtree + 0 extra scans
+        ("stats", res.stats, 0),  # pure LocalTableScan explode
+    ]:
+        plan = _physical(d)
+        n = plan.count("Scan parquet")
+        assert n <= budget, f"{name}: {n} parquet scans (budget {budget})"
+    # stats derive entirely from the driver-local aggregate (LocalTableScan /
+    # ExistingRDD leaf — zero fact scans, asserted by the budget above)
+
+
 def test_no_python_row_udfs_anywhere(spark, dims):
     """North-rule mandate: no per-row Python. The full rule set's plan must
     contain no BatchEvalPython (row UDF) nodes; ArrowEvalPython (vectorized)
