@@ -45,11 +45,19 @@ def profile_aggs(
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     na_sentinel: str = "NA",
     relative_error: float = 0.001,
+    string_minmax: bool = False,
 ) -> list:
     """The per-column aggregate expressions behind ``profile`` — exposed so the
     validator can fold them into ONE shared per-scope aggregation together with
     extent min/max and the verdict row count (the north rule's 'single scan per
-    partition producing per-column stat sketches')."""
+    partition producing per-column stat sketches').
+
+    ``string_minmax`` defaults OFF: alphabetic min/max of a free-text column
+    is analytically meaningless and at 10^12 rows its per-row string
+    comparisons are a real cost — the reference likewise folds extents for
+    numeric/temporal fields only (field.py:1821-1831, 2120-2131) and keeps
+    just the counter battery for text (field.py:1361-1415). Distinct-count
+    HLL sketches stay on for every column (the north rule asks for them)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in columns:
@@ -82,8 +90,12 @@ def profile_aggs(
             aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
         else:
             aggs.append(F.count_distinct(col).alias(f"{c}__n_distinct"))
-        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if is_str and not string_minmax:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
         if is_num:
             aggs.append(F.avg(col.cast("double")).alias(f"{c}__mean"))
             aggs.append(F.stddev_samp(col.cast("double")).alias(f"{c}__stddev"))
@@ -135,6 +147,7 @@ def profile(
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
     na_sentinel: str = "NA",
     relative_error: float = 0.001,
+    string_minmax: bool = False,
 ) -> DataFrame:
     """One-scan profile → long DataFrame:
 
@@ -148,6 +161,8 @@ def profile(
     the DuckDB-oracle correctness gate; production keeps the sketch.
     """
     columns = columns or list(df.columns)
-    aggs = profile_aggs(df, columns, approx_distinct, quantiles, na_sentinel, relative_error)
+    aggs = profile_aggs(
+        df, columns, approx_distinct, quantiles, na_sentinel, relative_error, string_minmax
+    )
     wide = df.groupBy(F.expr(scope).cast("string").alias("__scope")).agg(*aggs)
     return profile_long(wide, columns)
