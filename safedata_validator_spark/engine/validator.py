@@ -367,25 +367,39 @@ class ValidationEngine:
         scope_agg_plan = df.groupBy(
             F.expr(ruleset.scope).cast("string").alias("__scope")
         ).agg(*aggs)
-        scope_agg, was_local = self._localize(scope_agg_plan)
 
-        cached = [] if was_local else [scope_agg]
-        shared: dict[str, DataFrame] = {"scope_agg": scope_agg}
-        if was_local and seq_orders:
-            shared["order_max"] = {
-                o: max(
-                    (r[f"__seqmax_{o}"] for r in scope_agg.collect()
-                     if r[f"__seqmax_{o}"] is not None),
-                    default=None,
+        # the two eager aggregates run as CONCURRENT Spark actions — their
+        # driver planning and stage tails overlap (each alone under-utilises
+        # the executors), shaving the serial prologue of every run
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            scope_fut = pool.submit(self._localize, scope_agg_plan)
+            cat_fut = (
+                pool.submit(
+                    self._localize,
+                    referential.categorical_counts(df, ruleset.scope, cat_cols),
                 )
-                for o in seq_orders
-            }
-        if cat_cols:
-            cat_plan = referential.categorical_counts(df, ruleset.scope, cat_cols)
-            cat_counts, was_local = self._localize(cat_plan)
-            shared["cat_counts"] = cat_counts
-            if not was_local:
-                cached.append(cat_counts)
+                if cat_cols
+                else None
+            )
+            scope_agg, was_local = scope_fut.result()
+            cached = [] if was_local else [scope_agg]
+            shared: dict[str, DataFrame] = {"scope_agg": scope_agg}
+            if was_local and seq_orders:
+                shared["order_max"] = {
+                    o: max(
+                        (r[f"__seqmax_{o}"] for r in scope_agg.collect()
+                         if r[f"__seqmax_{o}"] is not None),
+                        default=None,
+                    )
+                    for o in seq_orders
+                }
+            if cat_fut is not None:
+                cat_counts, cat_local = cat_fut.result()
+                shared["cat_counts"] = cat_counts
+                if not cat_local:
+                    cached.append(cat_counts)
 
         parts: list[DataFrame] = []
         if row_rules:
