@@ -795,6 +795,76 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+def q_wkt_geo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT geometry audit (SURVEY §2.8 Geo — reference locations.py:353-364):
+    deterministic WKT strings are built from orders columns, parsed back with
+    the JVM-side kind/syntax/bounds expressions, and aggregated; the DuckDB
+    oracle computes the expected values arithmetically WITHOUT any WKT round
+    trip, so a parsing defect cannot cancel itself out."""
+    from safedata_validator_spark.functions import geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    c = F.col("o_custkey").cast("long")
+    lon = (F.pmod(k, F.lit(360)) - 180 + 0.25).cast("double")
+    lat = (F.pmod(c, F.lit(180)) - 90 + 0.5).cast("double")
+    x2, y2 = lon + 1.0, lat + 1.0
+    s = lambda v: v.cast("string")  # noqa: E731
+    point = F.concat(F.lit("POINT ("), s(lon), F.lit(" "), s(lat), F.lit(")"))
+    poly = F.concat(
+        F.lit("POLYGON (("), s(lon), F.lit(" "), s(lat), F.lit(", "),
+        s(x2), F.lit(" "), s(lat), F.lit(", "), s(x2), F.lit(" "), s(y2),
+        F.lit(", "), s(lon), F.lit(" "), s(lat), F.lit("))"),
+    )
+    broken = F.concat(F.lit("POINT ("), s(lon), F.lit(")"))  # x without y
+    wkt = (
+        F.when(F.pmod(k, F.lit(97)) == 0, broken)
+        .when(F.pmod(k, F.lit(7)) == 0, poly)
+        .otherwise(point)
+    )
+    p = o.select(wkt.alias("wkt")).select(
+        geo.wkt_kind(F.col("wkt")).alias("kind"),
+        geo.wkt_is_valid_syntax(F.col("wkt")).alias("valid"),
+        geo.wkt_bounds(F.col("wkt")).alias("b"),
+    )
+    return p.groupBy("kind", "valid").agg(
+        F.count(F.lit(1)).alias("n"),
+        # coalesce: the invalid group aggregates only NULL bounds, and NULL
+        # numerics cross the DuckDB/pandas boundary as NaN — pin a sentinel
+        F.coalesce(F.round(F.min("b.min_x"), 6), F.lit(-999.0)).alias("min_x"),
+        F.coalesce(F.round(F.max("b.max_x"), 6), F.lit(-999.0)).alias("max_x"),
+        F.coalesce(F.round(F.avg("b.min_y"), 6), F.lit(-999.0)).alias("avg_min_y"),
+        F.coalesce(F.round(F.avg("b.max_y"), 6), F.lit(-999.0)).alias("avg_max_y"),
+    )
+
+
+SQL_WKT_GEO_AUDIT = """
+WITH g AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         (CAST(o_orderkey AS BIGINT) % 360) - 180 + 0.25 AS lon,
+         (CAST(o_custkey AS BIGINT) % 180) - 90 + 0.5 AS lat
+  FROM orders
+), r AS (
+  SELECT CASE WHEN k % 97 = 0 THEN 'POINT'
+              WHEN k % 7 = 0 THEN 'POLYGON' ELSE 'POINT' END AS kind,
+         (k % 97 <> 0) AS valid,
+         CASE WHEN k % 97 = 0 THEN NULL ELSE lon END AS min_x,
+         CASE WHEN k % 97 = 0 THEN NULL
+              WHEN k % 7 = 0 THEN lon + 1 ELSE lon END AS max_x,
+         CASE WHEN k % 97 = 0 THEN NULL ELSE lat END AS min_y,
+         CASE WHEN k % 97 = 0 THEN NULL
+              WHEN k % 7 = 0 THEN lat + 1 ELSE lat END AS max_y
+  FROM g
+)
+SELECT kind, valid, COUNT(*) AS n,
+       COALESCE(round(MIN(min_x), 6), -999.0) AS min_x,
+       COALESCE(round(MAX(max_x), 6), -999.0) AS max_x,
+       COALESCE(round(AVG(min_y), 6), -999.0) AS avg_min_y,
+       COALESCE(round(AVG(max_y), 6), -999.0) AS avg_max_y
+FROM r GROUP BY kind, valid
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -870,6 +940,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "media_features": q_media_features,
     "quality_docs": q_quality_docs,
+    "wkt_geo_audit": q_wkt_geo_audit,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
@@ -881,6 +952,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "wkt_geo_audit": SQL_WKT_GEO_AUDIT,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,

@@ -184,3 +184,56 @@ def test_multimodal_features_and_rules(spark, dims):
     # decode stub is explicit about being a stub
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x00\x01")
+
+
+def test_wkt_kind_syntax_bounds(spark):
+    """JVM-side WKT battery (reference locations.py:353-364 semantics:
+    parseable, structurally sound, strictly 2-D)."""
+    from safedata_validator_spark.functions import geo
+
+    cases = [
+        # (wkt, kind, valid, bounds-or-None)
+        ("POINT (1.5 2.5)", "POINT", True, (1.5, 2.5, 1.5, 2.5)),
+        ("LINESTRING (0 0, 10 -5, 4 4)", "LINESTRING", True, (0.0, -5.0, 10.0, 4.0)),
+        ("POLYGON ((0 0, 2 0, 2 2, 0 0))", "POLYGON", True, (0.0, 0.0, 2.0, 2.0)),
+        ("MULTIPOINT ((1 1), (3 9))", "MULTIPOINT", True, (1.0, 1.0, 3.0, 9.0)),
+        ("GEOMETRYCOLLECTION (POINT (1 2))", "GEOMETRYCOLLECTION", True, (1.0, 2.0, 1.0, 2.0)),
+        ("POINT Z (1 2 3)", "POINT", False, None),  # 3-D rejected (has_z)
+        ("POINT (1 2 3)", "POINT", False, None),  # triple is not an x-y pair
+        ("POINT (1)", "POINT", False, None),  # lone ordinate
+        ("POLYGON ((0 0, 1 1)", "POLYGON", False, None),  # unbalanced parens
+        ("CIRCLE (1 2)", "CIRCLE", False, None),  # unknown tag
+        ("not wkt at all", "NOT", False, None),
+        (None, None, None, None),
+    ]
+    df = spark.createDataFrame([(w,) for w, *_ in cases], "wkt string")
+    got = (
+        df.select(
+            "wkt",
+            geo.wkt_kind(F.col("wkt")).alias("kind"),
+            geo.wkt_is_valid_syntax(F.col("wkt")).alias("valid"),
+            geo.wkt_bounds(F.col("wkt")).alias("b"),
+        )
+        .collect()
+    )
+    by_wkt = {r["wkt"]: r for r in got}
+    for wkt, kind, valid, bounds in cases:
+        r = by_wkt[wkt]
+        assert r["kind"] == kind, (wkt, r["kind"])
+        assert r["valid"] == valid, (wkt, r["valid"])
+        if bounds is not None and valid:
+            assert (r["b"]["min_x"], r["b"]["min_y"], r["b"]["max_x"], r["b"]["max_y"]) == bounds, wkt
+
+    # lon/lat hard bounds (reference resources.py:60-63)
+    ll = spark.createDataFrame(
+        [(0.0, 0.0, True), (-180.0, 90.0, True), (180.5, 0.0, False), (0.0, -90.5, False)],
+        "lon double, lat double, want boolean",
+    )
+    rows = ll.select("want", geo.lonlat_in_range(F.col("lon"), F.col("lat")).alias("got")).collect()
+    assert all(r["want"] == r["got"] for r in rows)
+
+    # full OGC validity is a stubbed pandas-UDF hook while shapely is absent
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        geo.full_validity(df, "wkt")
