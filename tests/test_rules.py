@@ -131,3 +131,52 @@ def test_verdicts_zero_fill(spark):
     assert verd["na"]["n_failed"] == 0 and verd["na"]["passed"]
     assert verd["na"]["n_rows"] == 2
     assert not res.passed()
+
+
+def test_format_pattern_presets(spark):
+    """Reference Summary regex battery (summary.py:27-31) + R-name grammar
+    (validators.py:50-95) as engine rules over a matrix of good/bad values."""
+    from safedata_validator_spark.rules import patterns as P
+    from safedata_validator_spark.rules.model import RuleSet
+    from safedata_validator_spark.engine.validator import ValidationEngine
+
+    rows = [
+        # (id, name, email, orcid, doi, rname)
+        (1, "Darwin, Charles", "a@b.org", "0000-0002-1825-0097", "https://doi.org/10.1/x", "my.var"),
+        (2, "Charles Darwin", "not-an-email", "0000-0002-1825-009", "ftp://doi.org/10.1/x", "_bad"),
+        (3, "A, B", "x@y.io", "0000-0002-1825-009X", "http://dx.doi.org/10.2/y", "..1"),
+        (4, "no comma here", "a@b", "0000-0002-1825-00971", "https://doi.org/", "for"),
+        (5, "L, F", "p@q.co", "0000-0002-1825-0097", "https://doi.org/10.3/z", "x2_ok.name"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, name string, email string, orcid string, doi string, rname string"
+    )
+    rs = RuleSet(
+        name="fmt", key_cols=["id"],
+        rules=[
+            P.name_format_rule("name.fmt", "name"),
+            P.email_format_rule("email.fmt", "email"),
+            P.orcid_format_rule("orcid.fmt", "orcid"),
+            P.doi_format_rule("doi.fmt", "doi"),
+            P.r_name_rule("rname.fmt", "rname"),
+        ],
+    )
+    viols = ValidationEngine().violations(df, rs).collect()
+    got = {(v["rule_id"], v["entity"]) for v in viols}
+    want = {
+        ("name.fmt", "id=2"), ("name.fmt", "id=4"),
+        ("email.fmt", "id=2"), ("email.fmt", "id=4"),
+        ("orcid.fmt", "id=2"), ("orcid.fmt", "id=4"),
+        ("doi.fmt", "id=2"), ("doi.fmt", "id=4"),
+        ("rname.fmt", "id=2"), ("rname.fmt", "id=3"), ("rname.fmt", "id=4"),
+    }
+    assert got == want
+
+    # DMS smell: matching the punctuation IS the violation (negated pattern)
+    dms = spark.createDataFrame(
+        [(1, "51°28'38\"N"), (2, "51.4772")], "id int, coord string"
+    )
+    rs2 = RuleSet(name="dms", key_cols=["id"],
+                  rules=[P.dms_smell_rule("coord.dms", "coord")])
+    got2 = {v["entity"] for v in ValidationEngine().violations(dms, rs2).collect()}
+    assert got2 == {"id=1"}
