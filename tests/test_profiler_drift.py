@@ -92,3 +92,28 @@ def test_drift_rule_split_cohorts(spark):
         "cohort string, v double",
     )
     assert ValidationEngine().violations(df2, rs).count() == 0
+
+def test_drift_rule_against_stored_baseline_histogram(spark):
+    """Cross-snapshot drift: the baseline is a STORED (scope, bucket, n)
+    histogram from a previous run (the dims[] path) — identical data passes,
+    shifted data breaches the PSI threshold."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    cur = spark.createDataFrame([(float(i % 10),) for i in range(300)], "v double")
+    baseline_same = histogram(cur, "v", 0.0, 15.0, 15)
+    shifted = spark.createDataFrame([(float(i % 10 + 5),) for i in range(300)], "v double")
+    baseline_shifted = histogram(shifted, "v", 0.0, 15.0, 15)
+
+    def run(baseline):
+        rs = RuleSet(
+            name="t", key_cols=["v"],
+            rules=[Rule("drift", "drift", column="v", severity="WARNING",
+                        params={"baseline_dim": "hist", "lo": 0.0, "hi": 15.0,
+                                "bins": 15, "psi_threshold": 0.2})],
+        )
+        return ValidationEngine().violations(cur, rs, {"hist": baseline}).collect()
+
+    assert run(baseline_same) == []
+    breach = run(baseline_shifted)
+    assert len(breach) == 1 and "psi=" in breach[0]["message"]
