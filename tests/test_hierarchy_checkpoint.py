@@ -87,3 +87,29 @@ def test_checkpoint_resume_and_rules_change(spark, dims, tmp_path):
     mrows = mani.read(spark).collect()
     assert all(r["passed"] for r in mrows)
     assert {r["ruleset_hash"] for r in mrows} == {rs.content_hash(), rs_changed.content_hash()}
+
+
+def test_checkpoint_resume_validates_only_new_partitions(spark, dims, tmp_path):
+    """Incremental ingest: after a completed run, appended partitions are the
+    ONLY pending work — the engine validates just them and the manifest
+    accumulates (the reference's 'resume' is rerunning the whole file)."""
+    from safedata_validator_spark.data.synth import transcripts_good
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    mani = CheckpointManifest(str(tmp_path / "mani2"))
+    rs = transcript_ruleset(scope="conv_id")
+    df10 = transcripts_good(spark, n_convs=10, mean_turns=10, hot_factor=5)
+    ENGINE.validate_resumable(df10, rs, mani, dims, snapshot_id="s1")
+
+    # the generator is per-conversation deterministic: n_convs=12 is the
+    # 10-conversation table plus two appended conversations
+    df12 = transcripts_good(spark, n_convs=12, mean_turns=10, hot_factor=5)
+    res, pending = ENGINE.validate_resumable(df12, rs, mani, dims, snapshot_id="s2")
+    assert sorted(pending) == ["conv-00010", "conv-00011"]
+    scopes = {r["scope"] for r in res.verdicts.select("scope").distinct().collect()}
+    assert scopes == {"conv-00010", "conv-00011"}
+    # nothing pending afterwards; manifest holds all 12 partitions
+    res2, pending2 = ENGINE.validate_resumable(df12, rs, mani, dims, snapshot_id="s2")
+    assert res2 is None and pending2 == []
+    parts = {r["partition"] for r in mani.read(spark).collect()}
+    assert len(parts) == 12
