@@ -22,13 +22,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def load_table(spark: SparkSession, ref: str, snapshot_id: str | None = None) -> DataFrame:
+def load_table(
+    spark: SparkSession, ref: str, snapshot_id: str | None = None, schema: str | None = None
+) -> DataFrame:
     """Load a fact/dimension table.
 
     ``ref`` forms:
       * ``iceberg:catalog.db.table`` — Iceberg catalog table (supports
         time travel via ``snapshot_id``; needs the Iceberg runtime jar);
-      * ``parquet:/path`` or a bare path — parquet directory/file.
+      * ``parquet:/path`` or a bare path — parquet directory/file;
+      * ``csv:/path`` — header CSV (pass ``schema`` DDL to avoid all-string
+        inference — the untyped-cell analogue of the reference's Excel reads,
+        where try_cast/castable rules then own dynamic typing);
+      * ``json:/path`` — JSON-lines.
     """
     if ref.startswith("iceberg:"):
         name = ref.split(":", 1)[1]
@@ -36,6 +42,15 @@ def load_table(spark: SparkSession, ref: str, snapshot_id: str | None = None) ->
         if snapshot_id:
             reader = reader.option("snapshot-id", snapshot_id)
         return reader.load(name)
+    if ref.startswith("csv:"):
+        reader = spark.read.option("header", True)
+        reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
+        return reader.csv(ref.split(":", 1)[1])
+    if ref.startswith("json:"):
+        reader = spark.read
+        if schema:
+            reader = reader.schema(schema)
+        return reader.json(ref.split(":", 1)[1])
     path = ref.split(":", 1)[1] if ref.startswith("parquet:") else ref
     return spark.read.parquet(path)
 

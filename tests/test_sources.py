@@ -46,3 +46,28 @@ def test_write_results_roundtrip(spark, tmp_path):
 def test_iceberg_unavailable_in_sandbox(spark):
     # the Iceberg-first path degrades explicitly, not silently
     assert tables.iceberg_available(spark) is False
+
+
+def test_load_table_csv_and_json_refs(spark, tmp_path):
+    """csv:/json: fact refs — the file-ingest analogue of the reference's
+    Excel reads; explicit schema DDL wins over inference for CSV."""
+    from safedata_validator_spark.sources import tables
+
+    df = spark.createDataFrame(
+        [("c1", 1, "hello"), ("c1", 2, "world")], "conv_id string, turn_idx int, text string"
+    )
+    csv_dir = str(tmp_path / "t.csv")
+    json_dir = str(tmp_path / "t.json")
+    df.write.option("header", True).csv(csv_dir)
+    df.write.json(json_dir)
+
+    got_csv = tables.load_table(
+        spark, f"csv:{csv_dir}", schema="conv_id string, turn_idx int, text string"
+    )
+    assert got_csv.schema.simpleString() == df.schema.simpleString()
+    assert got_csv.count() == 2
+
+    got_json = tables.load_table(
+        spark, f"json:{json_dir}", schema="conv_id string, turn_idx int, text string"
+    )
+    assert {r["turn_idx"] for r in got_json.collect()} == {1, 2}
