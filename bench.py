@@ -27,6 +27,7 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "dedup_ngram_jaccard",
+    "curate_corpus",
     "minhash_lsh_docs",
     "simhash_docs",
     "embedding_topk",

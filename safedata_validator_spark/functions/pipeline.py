@@ -1,0 +1,75 @@
+"""End-to-end training-corpus curation — the composition the individual
+dedup / similarity / text operators exist for: exact dedup → near-dup
+removal → language whitelist → quality floor, one declarative DataFrame
+pipeline.
+
+Scale shape: exact dedup is a bounded window over normalized-text groups
+(group size = duplicate multiplicity); near-dup pair finding defaults to
+the exact shingle join (SQL-oracle-checkable) and swaps to MinHash-LSH
+(``method='minhash'``) at corpus scale, where the all-pairs shingle join
+is replaced by banded candidate generation + exact verification; the
+language and quality stages are pure Column expressions fused into the
+surviving rows' projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from safedata_validator_spark.functions import dedup as dd
+from safedata_validator_spark.functions import text as tx
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.5,
+    n: int = 3,
+    method: str = "exact",
+) -> DataFrame:
+    """Curate a document corpus for training:
+
+    1. exact dedup on normalized text — the lowest id of each group survives;
+    2. near-dup removal over the survivors: pairs with n-gram Jaccard ≥
+       ``near_dup_threshold`` (``method``: 'exact' shingle join, or 'minhash'
+       for banded MinHash-LSH candidates + exact verification); the higher id
+       of every pair is dropped — deterministic, order-free;
+    3. language whitelist (``lang_id``);
+    4. quality floor (``quality_score``).
+
+    → (id, lang, quality, ws_tokens) for surviving documents.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        tx.normalize_text(F.col(text_col)).alias("__norm"),
+    )
+    w = Window.partitionBy("__norm")
+    exact_kept = base.withColumn("__keep", F.min("id").over(w)).where(
+        F.col("id") == F.col("__keep")
+    ).select("id", "text")
+
+    if method == "minhash":
+        pairs = dd.minhash_lsh_dedup(
+            exact_kept, "id", "text", n=n, threshold=near_dup_threshold
+        )
+    else:
+        pairs = dd.ngram_jaccard_pairs(
+            exact_kept, "id", "text", n=n, threshold=near_dup_threshold
+        )
+    drop = pairs.select(F.col("id_b").alias("id")).distinct()
+    survivors = exact_kept.join(drop, "id", "left_anti")
+
+    enriched = survivors.select(
+        "id",
+        tx.lang_id(F.col("text")).alias("lang"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        tx.ws_token_count(F.col("text")).alias("ws_tokens"),
+    )
+    return enriched.where(
+        F.col("lang").isin(list(langs)) & (F.col("quality") >= min_quality)
+    )

@@ -795,6 +795,94 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
+CURATE_LANGS = ("en", "fr")
+CURATE_MIN_QUALITY = 0.3
+CURATE_NEARDUP_T = 0.5
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (functions.pipeline): exact dedup →
+    near-dup removal (exact shingle join here, so the WHOLE pipeline is
+    SQL-oracle-gated; method='minhash' is the at-scale swap) → language
+    whitelist → quality floor."""
+    from safedata_validator_spark.functions.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(
+        d, "doc_id", "text",
+        min_quality=CURATE_MIN_QUALITY, langs=CURATE_LANGS,
+        near_dup_threshold=CURATE_NEARDUP_T, n=JACCARD_N, method="exact",
+    )
+
+
+def _sql_curate() -> str:
+    stop_rx = r"(?i)\b(" + "|".join(tx.STOPWORDS_EN) + r")\b"
+    lang_case = """CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    ELSE 'es' END"""
+    lang_scores = ", ".join(
+        "len(regexp_extract_all(coalesce(text,''), '"
+        + r"(?i)\b(" + "|".join(words) + r")\b"
+        + f"')) AS s_{lang}"
+        for lang, words in tx.LANG_MARKERS.items()
+    )
+    langs_in = ", ".join(f"'{v}'" for v in CURATE_LANGS)
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+), exact_kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY nrm) AS keep FROM norm
+  ) WHERE doc_id = keep
+), toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM exact_kept
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{JACCARD_N - 1}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i)
+  WHERE len(t) >= {JACCARD_N} AND shingle <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), dropped AS (
+  SELECT DISTINCT id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {CURATE_NEARDUP_T}
+), survivors AS (
+  SELECT doc_id, text FROM exact_kept
+  WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+), scored AS (
+  SELECT doc_id, text, {lang_scores} FROM survivors
+), enriched AS (
+  SELECT doc_id AS id,
+         {lang_case} AS lang,
+         round(0.25 * (
+           least(CAST(length(coalesce(text,'')) AS DOUBLE) / 500.0, 1.0)
+           + CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(coalesce(text,'')), 1)
+           + (1.0 - least(3.0 * CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?''"()\[\]{{}}]', '', 'g')) AS DOUBLE) / greatest(length(coalesce(text,'')), 1), 1.0))
+           + least(5.0 * CAST(len(regexp_extract_all(coalesce(text,''), '{stop_rx}')) AS DOUBLE) / greatest(CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END, 1), 1.0)
+         ), 6) AS quality,
+         CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END AS INT) AS ws_tokens
+  FROM scored
+)
+SELECT id, lang, quality, ws_tokens FROM enriched
+WHERE lang IN ({langs_in}) AND quality >= {CURATE_MIN_QUALITY}
+"""
+
+
+SQL_CURATE_CORPUS = _sql_curate()
+
+
 def q_wkt_geo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKT geometry audit (SURVEY §2.8 Geo — reference locations.py:353-364):
     deterministic WKT strings are built from orders columns, parsed back with
@@ -941,6 +1029,7 @@ QUERIES = {
     "media_features": q_media_features,
     "quality_docs": q_quality_docs,
     "wkt_geo_audit": q_wkt_geo_audit,
+    "curate_corpus": q_curate_corpus,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
@@ -953,6 +1042,7 @@ QUERIES = {
 
 ORACLES = {
     "wkt_geo_audit": SQL_WKT_GEO_AUDIT,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,

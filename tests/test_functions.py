@@ -237,3 +237,25 @@ def test_wkt_kind_syntax_bounds(spark):
 
     with _pytest.raises(NotImplementedError):
         geo.full_validity(df, "wkt")
+
+
+def test_curate_documents_pipeline(spark, docs):
+    """End-to-end curation drops the exact dups (2,3), the near-dup (4),
+    and keeps survivors passing language+quality; minhash and exact near-dup
+    paths agree on this corpus."""
+    from safedata_validator_spark.functions.pipeline import curate_documents
+
+    out = curate_documents(
+        docs, "doc_id", "text", min_quality=0.0, langs=("en",),
+        near_dup_threshold=0.5, n=3, method="exact",
+    )
+    kept = {r["id"] for r in out.collect()}
+    assert 1 in kept and not {2, 3, 4} & kept  # dup group keeps min id; near-dup dropped
+    out_mh = curate_documents(
+        docs, "doc_id", "text", min_quality=0.0, langs=("en",),
+        near_dup_threshold=0.5, n=3, method="minhash",
+    )
+    assert {r["id"] for r in out_mh.collect()} == kept
+    # quality floor actually filters
+    strict = curate_documents(docs, "doc_id", "text", min_quality=0.99, langs=("en",))
+    assert strict.count() == 0
