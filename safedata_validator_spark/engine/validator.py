@@ -277,10 +277,27 @@ class ValidationEngine:
         # attach from the (driver-local) scope_rows. The previous
         # grid-union-then-join shape embedded the violations plan twice,
         # doubling every fact scan when violations was not persisted.
+        # Scope joins are NULL-SAFE: a scope expression may evaluate to NULL
+        # and NULL is a verdict partition like any other.
         grid = scope_rows.select("scope").crossJoin(F.broadcast(declared))
-        merged = grid.join(counts, ["scope", "rule_id", "severity"], "full_outer")
+        g, c = grid.alias("g"), counts.alias("c")
+        merged = g.join(
+            c,
+            F.col("g.scope").eqNullSafe(F.col("c.scope"))
+            & (F.col("g.rule_id") == F.col("c.rule_id"))
+            & (F.col("g.severity") == F.col("c.severity")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("g.scope"), F.col("c.scope")).alias("scope"),
+            F.coalesce(F.col("g.rule_id"), F.col("c.rule_id")).alias("rule_id"),
+            F.coalesce(F.col("g.severity"), F.col("c.severity")).alias("severity"),
+            F.col("c.n_failed").alias("n_failed"),
+        )
+        sr = scope_rows.withColumnRenamed("scope", "__sr_scope")
         return (
-            merged.join(scope_rows, "scope", "left")
+            merged.join(
+                sr, F.col("scope").eqNullSafe(F.col("__sr_scope")), "left"
+            )
             .withColumn("n_failed", F.coalesce("n_failed", F.lit(0)))
             .withColumn("passed", (F.col("severity") != ERROR) | (F.col("n_failed") == 0))
             .select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")

@@ -180,3 +180,41 @@ def test_format_pattern_presets(spark):
                   rules=[P.dms_smell_rule("coord.dms", "coord")])
     got2 = {v["entity"] for v in ValidationEngine().violations(dms, rs2).collect()}
     assert got2 == {"id=1"}
+
+
+def test_validate_empty_input(spark, dims):
+    """Zero-row input: a full validate() run yields no violations, an empty
+    verdict grid (no scopes), empty stats, and passes."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.presets import transcript_ruleset
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    res = ValidationEngine().validate(empty, transcript_ruleset(), dims, with_stats=True)
+    assert res.violations.count() == 0
+    assert res.verdicts.count() == 0
+    assert res.stats.count() == 0
+    assert res.passed()
+
+
+def test_validate_null_scope_rows(spark, dims):
+    """Rows whose scope expression evaluates to NULL still get verdicts
+    (NULL is a scope value like any other — the reference's per-sheet scoping
+    has no such case, so this pins the engine's chosen semantics)."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), (None, 2, ""), (None, 3, "y")],
+        "grp string, id int, v string",
+    )
+    rs = RuleSet(
+        name="t", key_cols=["id"], scope="grp",
+        rules=[Rule("v.not_blank", "not_blank", column="v")],
+    )
+    res = ValidationEngine().validate(df, rs, with_stats=False)
+    verd = {(r["scope"], r["rule_id"]): r for r in res.verdicts.collect()}
+    assert verd[(None, "v.not_blank")]["n_failed"] == 1
+    assert verd[(None, "v.not_blank")]["n_rows"] == 2
+    assert verd[("a", "v.not_blank")]["n_failed"] == 0
