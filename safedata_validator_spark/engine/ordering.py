@@ -235,7 +235,9 @@ def sequential_from_counts(counts: DataFrame, rule: Rule, group: str, order: str
         F.lit(" distinct="),
         F.col("__nd").cast("string"),
     )
-    entity = F.concat(F.lit(f"{group}="), F.col(group).cast("string"))
+    entity = F.concat(
+        F.lit(f"{group}="), F.coalesce(F.col(group).cast("string"), F.lit("∅"))
+    )
     return as_violations(bad, rule, F.col("__scope"), entity, F.col("__n"), msg, column=order)
 
 

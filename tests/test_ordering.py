@@ -151,3 +151,23 @@ def test_hot_conversation_blocks_actually_split(spark):
         .count()
     )
     assert n_blocks >= 30
+
+
+def test_sequential_fast_path_null_group(spark):
+    """A NULL group key is sequenced like any other group — the fast path's
+    drilldown semi-join is null-safe, and the violation entity renders ∅."""
+    data = [(None, i) for i in [1, 2, 4]] + [("ok", i) for i in [1, 2, 3]]
+    df = spark.createDataFrame(data, "g string, i int")
+    rs = RuleSet(
+        name="t", key_cols=["g", "i"],
+        rules=[Rule("seq", "sequential", column="i",
+                    params={"group": "g", "order": "i"})],
+    )
+    for extra in ({}, {"method": "exact"}):
+        rs2 = RuleSet(
+            name="t", key_cols=["g", "i"],
+            rules=[Rule("seq", "sequential", column="i",
+                        params={"group": "g", "order": "i", **extra})],
+        )
+        got = ENGINE.validate(df, rs2, with_stats=False).violations.collect()
+        assert len(got) == 1 and got[0]["entity"] == "g=∅", (extra, got)
