@@ -49,7 +49,9 @@ def extents_from_agg(agg: DataFrame, rules: list[Rule]) -> list[DataFrame]:
             F.col(f"__max_{c}").cast("string"),
             F.lit(f"] breaches bounds [{lo}, {hi})"),
         )
-        entity = F.concat(F.lit("scope="), F.col("__scope").cast("string"))
+        entity = F.concat(
+            F.lit("scope="), F.coalesce(F.col("__scope").cast("string"), F.lit("∅"))
+        )
         value = F.concat(
             F.col(f"__min_{c}").cast("string"), F.lit(".."), F.col(f"__max_{c}").cast("string")
         )
@@ -95,6 +97,8 @@ def eval_extent(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
         F.col("__max").cast("string"),
         F.lit(f"] breaches bounds [{lo}, {hi})"),
     )
-    entity = F.concat(F.lit("scope="), F.col("__scope").cast("string"))
+    entity = F.concat(
+        F.lit("scope="), F.coalesce(F.col("__scope").cast("string"), F.lit("∅"))
+    )
     value = F.concat(F.col("__min").cast("string"), F.lit(".."), F.col("__max").cast("string"))
     return as_violations(bad, rule, F.col("__scope"), entity, value, msg)

@@ -426,8 +426,8 @@ def fused_pairs_violations(
             )
         )
     entity = F.concat(
-        F.lit(f"{group}="), F.col(group).cast("string"),
-        F.lit(f"/{order}="), F.col(order).cast("string"),
+        F.lit(f"{group}="), F.coalesce(F.col(group).cast("string"), F.lit("∅")),
+        F.lit(f"/{order}="), F.coalesce(F.col(order).cast("string"), F.lit("∅")),
     )
     fused = pairs.select(
         F.col("__scope").cast("string").alias("__scope"),

@@ -59,5 +59,7 @@ def eval_format_consistency(df: DataFrame, rule: Rule, ruleset, dims) -> DataFra
         F.lit(f"{col} mixes value formats: "),
         F.col("__detail"),
     )
-    entity = F.concat(F.lit("scope="), F.col("__scope").cast("string"))
+    entity = F.concat(
+        F.lit("scope="), F.coalesce(F.col("__scope").cast("string"), F.lit("∅"))
+    )
     return as_violations(bad, rule, F.col("__scope"), entity, F.col("__n_classes"), msg)
