@@ -120,6 +120,6 @@ def eval_drift(df: DataFrame, rule: Rule, ruleset, dims) -> DataFrame:
         F.round("ks", 4).cast("string"),
         F.lit(f" (thresholds psi>{psi_t}, ks>{ks_t})"),
     )
-    entity = F.concat(F.lit("scope="), F.col("scope"))
+    entity = F.concat(F.lit("scope="), F.coalesce(F.col("scope"), F.lit("∅")))
     value = F.round("psi", 6).cast("string")
     return as_violations(bad, rule, F.col("scope"), entity, value, msg)
