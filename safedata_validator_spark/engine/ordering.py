@@ -467,6 +467,14 @@ def eval_transition_grammar(df: DataFrame, rule: Rule, ruleset, dims) -> DataFra
     list[str], start (first index, default 1), adjacency, block_size.
     Compiled to an ``isin`` over 'from→to' literals (transition alphabets are
     tiny), staying fully inside codegen — no join for the membership test.
+
+    Semantics (blocked-window adjacency, the default): the grammar judges the
+    sequence AS OBSERVED — each row's predecessor is the physically previous
+    row in ``order``-sorted position, so an illegal edge across an index gap
+    (or between duplicate-index rows) IS flagged, exactly what a sequential
+    reader of the rows sees; the gap/duplicate itself is reported by the
+    sequential/unique rules. A group whose first row is not the opening
+    index gets no opening-role check (its true predecessor is unknown).
     """
     group, order, method, block_size = rule_pair_key(rule, ruleset)
     pairs = build_pairs(df, ruleset, group, order, [rule.column], block_size, method)

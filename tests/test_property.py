@@ -128,6 +128,52 @@ def test_monotone_matches_python_oracle_on_unique_orders(spark, table):
     assert flagged == expect
 
 
+@given(table=table_strategy)
+@SETTINGS
+def test_grammar_matches_python_oracle_on_unique_orders(spark, table):
+    """Transition-grammar violations on dup-free conversations equal a
+    Python oracle walking the turn_idx-sorted role sequence: the opening
+    role (turn 1) must be in allowed_start; every PHYSICALLY adjacent pair
+    must be a declared transition — including across an index gap (the
+    grammar judges the sequence as observed; the gap itself is the
+    sequential rule's report). A conversation whose first row is not turn 1
+    has no opening-role check (its first row's predecessor is unknown)."""
+    transitions = [["system", "user"], ["user", "assistant"],
+                   ["assistant", "user"], ["assistant", "tool"],
+                   ["tool", "assistant"]]
+    tset = {(a, b) for a, b in transitions}
+    dedup = [
+        list({t: (t, off, ri) for t, off, ri in conv}.values())
+        for conv in table
+    ]
+    df = _df(spark, dedup)
+    rs = RuleSet(
+        name="p", key_cols=["conv_id", "turn_idx"],
+        rules=[Rule("g", "transition_grammar", column="role",
+                    params={"group": "conv_id", "order": "turn_idx",
+                            "transitions": transitions,
+                            "allowed_start": ["system"]})],
+    )
+    flagged = {
+        (r["entity"].split("/")[0].split("=")[1], int(r["entity"].split("=")[-1]))
+        for r in ENGINE.violations(df, rs).collect()
+    }
+    expect = set()
+    for ci, conv in enumerate(dedup):
+        ordered = sorted(conv)
+        for j, (t, _, ri) in enumerate(ordered):
+            role = ROLES[ri]
+            if t == 1:
+                if role != "system":
+                    expect.add((f"c{ci:03d}", t))
+            elif j > 0:
+                prev_role = ROLES[ordered[j - 1][2]]
+                if (prev_role, role) not in tset:
+                    expect.add((f"c{ci:03d}", t))
+            # j == 0 with t > 1: unknown predecessor, no grammar check
+    assert flagged == expect
+
+
 @given(table=table_strategy, block_size=st.sampled_from([1, 2, 5]))
 @SETTINGS
 def test_blocked_adjacency_equals_global_window(spark, table, block_size):
