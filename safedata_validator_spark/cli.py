@@ -32,6 +32,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="sdv-spark", description=__doc__)
     p.add_argument("--table", required=True, help="fact table ref (iceberg:... or parquet path)")
     p.add_argument("--ruleset", help="rule-set JSON path (default: transcript preset)")
+    p.add_argument("--run-manifest", dest="run_manifest",
+                   help="run-manifest JSON (Summary-block analogue); ERRORs abort before any job")
     p.add_argument("--dim", action="append", default=[], metavar="NAME=REF",
                    help="dimension table, repeatable")
     p.add_argument("--out", help="output ref prefix for violations/verdicts/stats")
@@ -45,6 +47,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+
+    # manifest ERRORs abort BEFORE the Spark session exists — the analogue of
+    # the reference's hard-abort on resource problems (logger.py:287-304)
+    # versus log-and-continue data errors
+    if args.run_manifest:
+        from safedata_validator_spark.rules.manifest import (
+            manifest_passed,
+            validate_manifest,
+        )
+
+        with open(args.run_manifest) as fh:
+            problems = validate_manifest(json.load(fh))
+        for sev, field, msg in problems:
+            print(f"manifest {sev}: {field}: {msg}", file=sys.stderr)
+        if not manifest_passed(problems):
+            print(json.dumps({"status": "manifest-failed",
+                              "n_errors": sum(s == "ERROR" for s, _, _ in problems)}))
+            return 2
+
     spark = build_session(app_name="sdv-spark-validate", master=args.master)
 
     if args.ruleset:
