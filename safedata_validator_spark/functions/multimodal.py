@@ -106,6 +106,93 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(per_batch, schema=FEATURES_DDL)
 
 
+RESIZED_DDL = (
+    "media_id long, kind string, out_w int, out_h int, "
+    "pixels array<float>"
+)
+
+FRAMES_DDL = (
+    "media_id long, frame_idx int, frame_ms int, "
+    f"features array<float>"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Image resize as a partition-preserving ``mapInPandas`` stage: decode
+    (surrogate), box-average down to (out_w, out_h), emit normalised pixel
+    means. The resize math (reshape + mean over blocks) is REAL and
+    vectorized; only the codec behind ``decode_image`` is stubbed. Non-image
+    rows pass through with NULL pixels (schema stability over filtering, so
+    the stage composes with mixed-media tables)."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_pixels = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    out_pixels.append(None)
+                    continue
+                img = decode_image(bytes(payload or b""), fake=True).astype(np.float32)
+                h, w, _ = img.shape
+                bh, bw = max(h // out_h, 1), max(w // out_w, 1)
+                small = (
+                    img[: bh * out_h, : bw * out_w]
+                    .reshape(out_h, bh, out_w, bw, 3)
+                    .mean(axis=(1, 3))
+                )
+                out_pixels.append((small.reshape(-1) / 255.0).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": out_pixels,
+                }
+            )
+
+    return media.mapInPandas(per_batch, schema=RESIZED_DDL)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Video frame sampling as a flatMap-shaped ``mapInPandas`` stage: each
+    video row emits ``n_frames`` output rows at evenly spaced timestamps
+    across duration_ms, each with a deterministic per-frame feature vector
+    (surrogate decode keyed by payload digest + frame index — swapping in a
+    real ffmpeg seek changes one expression). Non-video rows emit nothing;
+    the row explosion happens INSIDE the Arrow batch, no Spark-side
+    explode/shuffle."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, stamps, feats = [], [], [], []
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if kind != "video" or dur is None or pd.isna(dur):
+                    continue
+                step = max(int(dur) // n_frames, 1)
+                for fi in range(n_frames):
+                    frame_payload = bytes(payload or b"") + fi.to_bytes(4, "little")
+                    img = decode_image(frame_payload, fake=True).astype(np.float32)
+                    flat = img.reshape(-1)
+                    pooled = (
+                        flat[: (len(flat) // FEATURE_DIM) * FEATURE_DIM]
+                        .reshape(FEATURE_DIM, -1)
+                        .mean(axis=1)
+                        / 255.0
+                    )
+                    ids.append(mid)
+                    idxs.append(fi)
+                    stamps.append(min(fi * step, int(dur)))
+                    feats.append(pooled.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ms": stamps, "features": feats}
+            )
+
+    return media.mapInPandas(per_batch, schema=FRAMES_DDL)
+
+
 def media_integrity_ruleset():
     """Validation rules for the media table itself (reuses the engine):
     payload present, kind in levels, dimensions required for images."""

@@ -50,6 +50,59 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
+def chargram_hashes(col: Column, k: int = 8) -> Column:
+    """Hashes of every character k-gram of an ALREADY-NORMALISED text column
+    — one array element per position (empty for texts shorter than k).
+    ``col`` must be a bound column: an inline expression would be
+    re-evaluated per gram inside the lambda (no CSE across lambda scopes)."""
+    n_grams = F.length(col) - (k - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(col.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow(grams_col: Column, w: int = 4) -> Column:
+    """Winnowing selection over a MATERIALIZED gram-hash array column: the
+    minimum of each window of ``w`` consecutive hashes, deduplicated and
+    sorted. ``grams_col`` must be a bound column (not the ``chargram_hashes``
+    expression inline): Spark does not common-subexpression-eliminate across
+    nested lambda boundaries, so an inline gram expression would be
+    re-evaluated per window — O(n²) regex work per row. Use
+    ``with_chargram_fingerprints`` for the correctly-staged composition."""
+    n_windows = F.size(grams_col) - (w - 1)
+    selected = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams_col, j, w)),
+        ),
+    ).otherwise(grams_col)  # fewer grams than a window: keep them all
+    return F.sort_array(F.array_distinct(selected))
+
+
+def with_chargram_fingerprints(
+    df, col: str, out: str = "fingerprints", k: int = 8, w: int = 4
+):
+    """Winnowing document fingerprints — rolling-hash selection over
+    character k-grams (the MOSS scheme: hash every k-gram of the normalised
+    text, keep the minimum hash of each window of ``w`` consecutive grams,
+    deduplicate). Guarantees any shared substring of length ≥ k+w-1 between
+    two documents contributes at least one shared fingerprint, so local
+    plagiarism/copy detection works where whole-document hashing cannot.
+    Pure JVM-side higher-order array expressions — no UDF. Two projection
+    stages so the gram array materializes once per row (see ``winnow``)."""
+    return (
+        df.withColumn("__nrm", normalize_text(F.col(col)))
+        .withColumn("__grams", chargram_hashes(F.col("__nrm"), k))
+        .withColumn(out, winnow(F.col("__grams"), w))
+        .drop("__nrm", "__grams")
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: penalises very short/very long
     docs, high punctuation density, low alpha ratio, and low stopword ratio —

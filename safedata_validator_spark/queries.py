@@ -883,6 +883,34 @@ WHERE lang IN ({langs_in}) AND quality >= {CURATE_MIN_QUALITY}
 SQL_CURATE_CORPUS = _sql_curate()
 
 
+def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (MOSS-style local-similarity
+    detection): docs sharing ≥ min_common selected k-gram hashes. Explode +
+    self equi-join on the fingerprint — the same scale shape as the shingle
+    join, but over the winnowed (w× smaller) selection."""
+    d = _t(spark, sf_dir, "documents")
+    # explode_OUTER: the plain explode triggers InferFiltersFromGenerate,
+    # which pushes a size(...)>0 pre-filter below the projections with the
+    # whole winnowing chain INLINED — re-evaluating the gram array per
+    # window, O(n²) per document. The outer variant infers no filter; the
+    # null rows (fingerprint-less docs) drop afterwards for free.
+    fps = tx.with_chargram_fingerprints(d, "text", out="__fps", k=8, w=4).select(
+        F.col("doc_id").alias("id"), F.explode_outer("__fps").alias("fp")
+    ).where(F.col("fp").isNotNull())
+    # frequency cut (same as the shingle join's max_df): a fingerprint present
+    # in a large share of documents is boilerplate and would make its join
+    # bucket quadratic without adding discrimination
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > 20)
+    fps = fps.join(hot.select("fp"), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 20)
+    )
+
+
 def q_wkt_geo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKT geometry audit (SURVEY §2.8 Geo — reference locations.py:353-364):
     deterministic WKT strings are built from orders columns, parsed back with
@@ -1038,6 +1066,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "winnow_overlap_docs": q_winnow_overlap_docs,
 }
 
 ORACLES = {

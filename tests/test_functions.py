@@ -259,3 +259,55 @@ def test_curate_documents_pipeline(spark, docs):
     # quality floor actually filters
     strict = curate_documents(docs, "doc_id", "text", min_quality=0.99, langs=("en",))
     assert strict.count() == 0
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize and frame-sample stages: real Spark plumbing + vectorized
+    batch math over the stubbed codec; deterministic across runs."""
+    media = mm.synth_media(spark, n=24)
+    resized = mm.resize_images(media, out_w=4, out_h=4).collect()
+    assert len(resized) == 24
+    for r in resized:
+        if r["kind"] == "image":
+            assert len(r["pixels"]) == 4 * 4 * 3
+            assert all(0.0 <= p <= 1.0 for p in r["pixels"])
+        else:
+            assert r["pixels"] is None
+
+    frames = mm.sample_frames(media, n_frames=3)
+    rows = frames.collect()
+    n_videos = media.where("kind = 'video' AND duration_ms IS NOT NULL").count()
+    assert len(rows) == 3 * n_videos
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, fr in by_media.items():
+        assert sorted(f["frame_idx"] for f in fr) == [0, 1, 2]
+        stamps = [f["frame_ms"] for f in sorted(fr, key=lambda x: x["frame_idx"])]
+        assert stamps == sorted(stamps)  # evenly spaced, non-decreasing
+        feats = {tuple(f["features"]) for f in fr}
+        assert len(feats) == 3  # per-frame features differ (frame-keyed decode)
+    again = {(r["media_id"], r["frame_idx"]): r["features"]
+             for r in mm.sample_frames(media, n_frames=3).collect()}
+    assert all(again[(r["media_id"], r["frame_idx"])] == r["features"] for r in rows)
+
+
+def test_chargram_winnowing_fingerprints(spark, docs):
+    """Winnowing guarantees: identical docs → identical fingerprint sets;
+    docs sharing long substrings share fingerprints; short texts → empty;
+    every fingerprint is a k-gram hash of the document itself."""
+    fp = {
+        r["doc_id"]: r["fps"]
+        for r in tx.with_chargram_fingerprints(docs, "text", out="fps", k=8, w=4)
+        .select("doc_id", "fps")
+        .collect()
+    }
+    assert fp[1] == fp[2] == fp[3]  # exact dups (after normalisation)
+    s1, s4, s5 = set(fp[1]), set(fp[4]), set(fp[5])
+    overlap_near = len(s1 & s4) / len(s1 | s4)
+    overlap_far = len(s1 & s5) / len(s1 | s5) if s1 | s5 else 0.0
+    assert overlap_near > 0.5 > overlap_far
+    short = spark.createDataFrame([(1, "tiny"), (2, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["fps"] for r in tx.with_chargram_fingerprints(
+        short, "text", out="fps", k=8, w=4).select("doc_id", "fps").collect()}
+    assert got[1] == [] and got[2] == []
