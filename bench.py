@@ -61,8 +61,16 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     # the timed job exercises the production scan path — columnar IO with
     # per-pass column pruning — exactly as it would against Iceberg.
     n_turns = max(int(TURNS_PER_SF * sf), 100_000)
+    # cache key includes a generator-source hash: a changed generator in a
+    # later round must never silently benchmark stale cached data
+    import hashlib
+    import inspect
+
+    gen_tag = hashlib.sha256(
+        inspect.getsource(transcripts_scaled).encode()
+    ).hexdigest()[:8]
     src = os.environ.get(
-        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}"
+        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}"
     )
     try:
         df = spark.read.parquet(src)

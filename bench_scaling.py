@@ -1,8 +1,8 @@
 """Scaling-efficiency evidence for the north rule: the same validation job on
-the same input at two parallelism levels (local[8] vs local[32], standing in
-for N vs 4N executors — no real cluster in this sandbox), reporting
-throughput at both plus scaling efficiency (T_low/T_high)/(high/low).
-Results land in BENCH/BASELINE.md.
+IDENTICAL input at three parallelism levels (local[2]/local[8]/local[32] —
+two N→4N pairs standing in for cluster sizes; no real cluster in this
+sandbox), reporting throughput at each plus scaling efficiency
+(T_N/T_4N)/4 per pair. Results land in BENCH/BASELINE.md.
 
 Measurement notes (learned the hard way in round 1):
 * the job must be big enough to be compute-bound, not stage-latency-bound —
@@ -11,17 +11,20 @@ Measurement notes (learned the hard way in round 1):
 * this microVM faults memory lazily: oversized JVM heaps (48g+) slow the
   identical job ~2.7× — keep the default modest heap;
 * the host is shared: wall times drift between runs, so each level runs
-  twice interleaved and the minimum is used;
+  twice interleaved and the minimum is used (windows drift up to 2.4× —
+  see the report's history section);
 * shuffle partitions are sized by data volume (~1M rows/partition), not by
   core count — the same sizing rule a real cluster deployment uses;
-* input is NOT cached: the generator is pure column math and recomputes
-  identically at every parallelism level (and 40M cached rows would not fit
-  the modest heap that this VM requires).
+* input is ONE materialized parquet table read by every level (written
+  once, untimed; cache path keyed by the generator's source hash so a
+  changed generator can never silently benchmark stale data) — the timed
+  job exercises the production scan path, columnar IO + column pruning.
 
-A pure-CPU calibration (fixed work per process, no Spark) quantifies the
-hardware ceiling: the box exposes 32 hyper-threads but sustains well under
-32 cores of arithmetic, so Spark's 8→32 number must be read against that
-ceiling, not against 1.0.
+Pure-CPU and memory-streaming calibrations (fixed work per process, no
+Spark) quantify the hardware ceilings at the same instant: the box exposes
+32 hyper-threads but sustains well under 32 cores of arithmetic and its
+memory system saturates near 8 cores, so Spark's numbers must be read
+against those ceilings, not against 1.0.
 """
 
 from __future__ import annotations
@@ -56,7 +59,9 @@ spark = build_session(app_name=f"sdv-scale-{cores}", master=f"local[{cores}]",
 # IDENTICAL input at every parallelism level: a parquet table materialized
 # once (untimed, deterministic) — the timed job exercises the production
 # scan path (columnar IO + per-pass column pruning), not the generator.
-src = f"/tmp/sdv_bench_transcripts_{n_turns}"
+import hashlib, inspect
+gen_tag = hashlib.sha256(inspect.getsource(transcripts_scaled).encode()).hexdigest()[:8]
+src = f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}"
 try:
     df = spark.read.parquet(src)
 except Exception:
