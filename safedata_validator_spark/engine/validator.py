@@ -134,12 +134,16 @@ class ValidationEngine:
         a relational shape share ONE pass over the data:
 
         * monotone + transition_grammar with the same (group, order,
-          block_size) share one adjacent-pairs plan (one bounded window + one
-          boundary stitch for all of them);
-        * sequential + unique_key over (group, order) share one level-1
-          key-count aggregation (the identical exchange is executed once via
-          Spark's ReuseExchange);
-        * ALL extent rules fold into one min/max agg.
+          block_size) evaluate in ONE projection over one adjacent-pairs
+          plan (one bounded window + one boundary stitch for all of them);
+        * sequential + unique_key over (group, order) share the
+          conversation-level hash-sum screen (fast path, inside validate())
+          or one key-count aggregation (standalone / method='exact'), the
+          key-granularity work running only over flagged conversations;
+        * ALL extent rules fold into the shared per-scope aggregate (inside
+          validate()) or one min/max agg (standalone);
+        * ALL level audits + referential membership checks derive from one
+          stacked categorical-counts pass (inside validate()).
 
         At 10^12 rows the scan/shuffle count, not expression work, dominates
         cost — this is the engine's equivalent of the reference's single-pass
