@@ -198,7 +198,7 @@ WITH lagged AS (
   FROM events
 )
 SELECT user_id, count(prev_value) AS n_pairs,
-       sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS n_decreases
+       CAST(sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) AS BIGINT) AS n_decreases
 FROM lagged GROUP BY user_id HAVING sum(CASE WHEN value < prev_value THEN 1 ELSE 0 END) > 0
 """
 
@@ -520,8 +520,8 @@ WITH e AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(ws_tokens) AS total_ws_tokens,
-       sum(bpe_tokens) AS total_bpe_tokens,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        round(sum(n_chars) / count(*), 6) AS avg_chars
 FROM e GROUP BY lang
 """
@@ -689,7 +689,7 @@ WITH marked AS (
   SELECT user_id, session_no, count(*) AS n_events FROM sess GROUP BY user_id, session_no
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       sum(n_events) AS n_events
+       CAST(sum(n_events) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id
 """
 
