@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from safedata_validator_spark.functions import dedup as dd
 from safedata_validator_spark.functions import similarity as sim
 from safedata_validator_spark.functions import text as tx
+from safedata_validator_spark.golden_oracles import GOLDEN_ORACLES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -772,8 +773,38 @@ SQL_QUALITY_DOCS = _sql_quality()
 # --------------------------------------------------------------------------
 
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs. Oracled by the exact-Jaccard SQL: at the
+    catalog banding (num_perm=64, bands=16 → r=4) a pair at jaccard s is
+    banded with probability 1-(1-s^4)^16 ≈ 1 for the planted near-dups
+    (s ≥ 0.95), so candidates+verify reproduce the exact pair set."""
     d = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_dedup(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    out = dd.minhash_lsh_dedup(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH_LSH_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{JACCARD_N - 1}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i)
+  WHERE len(t) >= {JACCARD_N} AND shingle <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,7 +814,8 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(e, threshold=0.3, nbits=8)
+    out = sim.embedding_near_dup_pairs(e, threshold=0.3, nbits=8)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,4 +1126,8 @@ ORACLES = {
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "media_features": SQL_MEDIA_FEATURES,
     "quality_docs": SQL_QUALITY_DOCS,
+    "minhash_lsh_docs": SQL_MINHASH_LSH_DOCS,
+    # pinned golden VALUES oracles (independent purepy_ref implementation,
+    # generated by tools/gen_golden_oracles.py, valid at the driver's sf0.01)
+    **GOLDEN_ORACLES,
 }

@@ -1,0 +1,93 @@
+"""Guards for the pinned golden VALUES oracles.
+
+The oracles in ``safedata_validator_spark/golden_oracles.py`` are generated
+from the independent pure-Python implementations in ``tools/purepy_ref.py``.
+These tests pin the two layers that generation relies on:
+
+1. the spec-derived pure-Python xxHash64 must track Spark's ``F.xxhash64``
+   bit-for-bit (string / long / IntegerType-literal chaining), and
+2. the purepy operator replicas must agree with the Spark operators on a
+   small adversarial corpus — so a change to either implementation that is
+   not reflected in regenerated oracles fails here, not in the driver's gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import purepy_ref as ref  # noqa: E402
+
+from safedata_validator_spark.functions import dedup as dd  # noqa: E402
+from safedata_validator_spark.functions import similarity as sim  # noqa: E402
+from safedata_validator_spark.functions import text as tx  # noqa: E402
+
+STRINGS = ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+           "long string " * 10, "héllo ünïcode", "tab\tand\nnewline"]
+LONGS = [0, 1, -1, -5, 2**62, -(2**62), 123456789012345]
+
+
+def test_purepy_xxhash64_matches_spark_strings(spark):
+    df = spark.createDataFrame([(s,) for s in STRINGS], "s string").select(
+        "s", F.xxhash64("s").alias("h"), F.xxhash64("s", F.lit(7)).alias("h7")
+    )
+    for r in df.collect():
+        assert r["h"] == ref.spark_xxhash64(r["s"])
+        assert r["h7"] == ref.spark_xxhash64(r["s"], ref.I32(7))
+
+
+def test_purepy_xxhash64_matches_spark_longs(spark):
+    df = spark.createDataFrame([(v,) for v in LONGS], "v long").select(
+        "v", F.xxhash64("v").alias("h"), F.xxhash64("v", F.lit(9)).alias("h9")
+    )
+    for r in df.collect():
+        assert r["h"] == ref.spark_xxhash64(r["v"])
+        assert r["h9"] == ref.spark_xxhash64(r["v"], ref.I32(9))
+
+
+DOCS = {
+    1: "the quick brown fox jumps over the lazy dog again and again and again",
+    2: "the quick brown fox jumps over the lazy dog again and again and AGAIN!",
+    3: "completely different text about spark catalyst optimizer internals",
+    4: "the quick brown fox jumps over the lazy dog again and again",
+    5: "",
+    6: "short",
+}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(list(DOCS.items()), "id long, text string")
+
+
+def test_purepy_simhash_matches_spark(spark, docs_df):
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in dd.simhash_near_pairs(docs_df, "id", "text", max_hamming=20).collect()}
+    want = set(ref.simhash_near_pairs(DOCS, max_hamming=20, chunks=4))
+    assert got == want and got  # non-empty: the near-identical docs pair up
+
+
+def test_purepy_winnow_matches_spark(spark, docs_df):
+    fps = tx.with_chargram_fingerprints(docs_df, "text", out="fps", k=8, w=4)
+    got = {r["id"]: r["fps"] for r in fps.collect()}
+    for i, text in DOCS.items():
+        assert got[i] == ref.winnow_fingerprints(text, k=8, w=4), f"doc {i}"
+
+
+def test_purepy_lsh_bucket_matches_spark(spark):
+    rng = np.random.default_rng(123)
+    vecs = {i: rng.standard_normal(16).astype(np.float32) for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["bucket"] for r in sim.add_lsh_bucket(df, nbits=8).collect()}
+    planes = ref.hyperplanes(16, 8)
+    for i, v in vecs.items():
+        assert got[i] == ref.lsh_bucket(v, planes), f"vec {i}"

@@ -50,6 +50,11 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        from safedata_validator_spark.golden_oracles import GOLDEN_ORACLES, PINNED_SF
+
+        if name in GOLDEN_ORACLES and PINNED_SF not in sf_dir:
+            print(f"{name:28s} pinned golden oracle (valid at {PINNED_SF} only), skipped")
+            continue
         sdf = fn(spark, sf_dir)
         srows = [r.asDict() for r in sdf.collect()]
         scols = sorted(sdf.columns)
