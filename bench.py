@@ -72,9 +72,17 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     src = os.environ.get(
         "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}"
     )
+    # 'read succeeds' is not enough cache validation: a partially written
+    # directory from a crashed prior run reads fine with missing rows —
+    # verify the row count and regenerate on mismatch
+    df = None
     try:
-        df = spark.read.parquet(src)
+        cached = spark.read.parquet(src)
+        if cached.count() == n_turns:
+            df = cached
     except Exception:
+        pass
+    if df is None:
         transcripts_scaled(spark, n_turns).write.mode("overwrite").parquet(src)
         df = spark.read.parquet(src)
     engine = ValidationEngine()

@@ -37,12 +37,15 @@ def as_violations(
     value: Column,
     message: Column | str,
     column: str | None = None,
+    severity: str | None = None,
 ) -> DataFrame:
-    """Project an arbitrary violating-rows DataFrame into the canonical shape."""
+    """Project an arbitrary violating-rows DataFrame into the canonical shape.
+    ``severity`` overrides the rule's own level for derived advisory rows
+    (e.g. extent congruence's both-populated WARNING)."""
     msg = F.lit(message) if isinstance(message, str) else message
     return df.select(
         F.lit(rule.rule_id).alias("rule_id"),
-        F.lit(rule.severity).alias("severity"),
+        F.lit(severity if severity is not None else rule.severity).alias("severity"),
         scope.cast("string").alias("scope"),
         entity.cast("string").alias("entity"),
         F.lit(column if column is not None else rule.column).alias("column"),

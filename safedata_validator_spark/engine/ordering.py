@@ -142,13 +142,18 @@ def conv_level_stats(df: DataFrame, group: str, order: str, scope_expr: str) -> 
     of the order values. 5-6× cheaper than the key-level aggregation at 40M
     rows (the hash table holds conversations, not turns)."""
     h1, h2 = _order_hashes(order)
+    # try_sum: the 31-bit masks bound per-row hashes, but a degenerate group
+    # with > 2^32 duplicate rows could still overflow the long sum — ANSI
+    # mode would abort the whole run. try_sum yields NULL instead, which
+    # fails the eqNullSafe hash check → the group is flagged and the exact
+    # key-level drilldown (which cannot overflow) reports it.
     return df.groupBy(F.col(group), F.expr(scope_expr).cast("string").alias("__scope")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.count(F.col(order)).alias("__nn"),
         F.min(order).alias("__mn"),
         F.max(order).alias("__mx"),
-        F.sum(h1).alias("__hs1"),
-        F.sum(h2).alias("__hs2"),
+        F.try_sum(h1).alias("__hs1"),
+        F.try_sum(h2).alias("__hs2"),
     )
 
 

@@ -39,19 +39,56 @@ def _dim(dims: dict[str, DataFrame], name: str) -> DataFrame:
         raise KeyError(f"rule references unknown dimension {name!r}; have {sorted(dims)}") from None
 
 
+def canon_str(col, dtype):
+    """Canonical string rendering for membership comparison. Fact values and
+    dim keys meet in the counts cache as STRINGS, so mixed numeric types must
+    render identically: an integral-valued float/double/decimal renders
+    without its fractional suffix (DOUBLE 1.0 → '1', matching dim INT 1 the
+    way Spark's native join coercion would). Non-integral and out-of-long
+    values keep their plain rendering; try_cast keeps ANSI mode happy."""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(dtype, (DoubleType, FloatType, DecimalType)):
+        as_long = col.try_cast("bigint")
+        return F.when(
+            col.isNotNull()
+            & as_long.isNotNull()
+            & (col == as_long.cast(dtype.simpleString())),
+            as_long.cast("string"),
+        ).otherwise(col.cast("string"))
+    return col.cast("string")
+
+
+def _canon_col(df: DataFrame, column: str):
+    return canon_str(F.col(column), df.schema[column].dataType)
+
+
+def canon_dim_key(dim: DataFrame, key: str) -> DataFrame:
+    """Distinct dimension keys in the same canonical rendering → (__val)."""
+    return dim.select(_canon_col(dim, key).alias("__val")).distinct()
+
+
 def categorical_counts(df: DataFrame, scope_expr: str, columns: list[str]) -> DataFrame:
     """ONE scan serving every categorical rule: stack the audited columns into
     (column-name, value) rows and count per scope. Output volume is bounded by
     sum of per-column distinct cardinalities × scopes — tiny for categorical
     columns — so the validator caches it and every audit below becomes a
-    broadcast join over cached rows, never a new fact pass."""
+    broadcast join over cached rows, never a new fact pass. Values render via
+    ``canon_str`` so numeric fact columns compare correctly with numeric dim
+    keys of a different width."""
     cols = sorted(set(columns))
-    stack_args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("__col"), _canon_col(df, c).alias("__val"))
+            for c in cols
+        ]
+    )
     return (
         df.select(
             F.expr(scope_expr).cast("string").alias("__scope"),
-            F.expr(f"stack({len(cols)}, {stack_args}) as (__col, __val)"),
+            F.explode(pairs).alias("__p"),
         )
+        .select("__scope", F.col("__p.__col").alias("__col"), F.col("__p.__val").alias("__val"))
         .groupBy("__scope", "__col", "__val")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -64,7 +101,7 @@ def column_counts(df: DataFrame, scope_expr: str, column: str) -> DataFrame:
         df.select(
             F.expr(scope_expr).cast("string").alias("__scope"),
             F.lit(column).alias("__col"),
-            F.col(column).cast("string").alias("__val"),
+            _canon_col(df, column).alias("__val"),
         )
         .groupBy("__scope", "__col", "__val")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -89,9 +126,7 @@ def ref_integrity_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> Data
 
     counted = counts.where(F.col("__val").isNotNull()) if ignore_null else counts
     unknown = counted.join(
-        F.broadcast(
-            dim.select(F.col(dim_key).cast("string").alias("__val")).distinct()
-        ),
+        F.broadcast(canon_dim_key(dim, dim_key)),
         on="__val",
         how="left_anti",
     )
@@ -103,8 +138,8 @@ def ref_integrity_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> Data
         alias_key = rule.params.get("alias_key", "alias")
         alias_primary = rule.params.get("alias_primary", dim_key)
         amap = alias.select(
-            F.col(alias_key).cast("string").alias("__val"),
-            F.col(alias_primary).cast("string").alias("__primary"),
+            _canon_col(alias, alias_key).alias("__val"),
+            _canon_col(alias, alias_primary).alias("__primary"),
         ).distinct()
         aliased = unknown.join(F.broadcast(amap), on="__val", how="inner")
         unknown = unknown.join(F.broadcast(amap.select("__val")), on="__val", how="left_anti")
@@ -167,9 +202,8 @@ def levels_audit_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> DataF
         )
     else:
         levels_df = (
-            _dim(dims, rule.params["dim"])
-            .select(F.col(rule.params["dim_key"]).cast("string").alias("__level"))
-            .distinct()
+            canon_dim_key(_dim(dims, rule.params["dim"]), rule.params["dim_key"])
+            .withColumnRenamed("__val", "__level")
         )
 
     used = counts.where(F.col("__val").isNotNull())

@@ -219,15 +219,21 @@ class ValidationEngine:
 
         # -- extent fusion -----------------------------------------------------
         # inside a full validate() run the min/max fold rides the shared
-        # per-scope aggregate (scope_agg) — zero extra fact passes
+        # per-scope aggregate (scope_agg) — zero extra fact passes; the
+        # declared-vs-computed congruence rules read the SAME aggregate
         extent_rules = [r for r in plan_rules if r.rule_type == "extent"]
-        if extent_rules:
+        congr_rules = [r for r in plan_rules if r.rule_type == "extent_congruence"]
+        if extent_rules or congr_rules:
             scope_agg = shared.get("scope_agg")
-            if scope_agg is not None:
+            if scope_agg is None:
+                scope_agg = df.groupBy(
+                    F.expr(ruleset.scope).cast("string").alias("__scope")
+                ).agg(*extents.extent_aggs(extent_rules + congr_rules))
+            if extent_rules:
                 parts.extend(extents.extents_from_agg(scope_agg, extent_rules))
-            else:
-                parts.extend(extents.eval_extents_fused(df, extent_rules, ruleset))
-            handled.update(id(r) for r in extent_rules)
+            if congr_rules:
+                parts.extend(extents.congruence_from_agg(scope_agg, congr_rules))
+            handled.update(id(r) for r in extent_rules + congr_rules)
 
         # -- categorical fusion ------------------------------------------------
         # level audits + referential membership over ANY number of columns
@@ -310,14 +316,46 @@ class ValidationEngine:
     #: Shared aggregates larger than this many rows stay distributed
     #: (persisted) instead of being collected to the driver.
     localize_cap = 500_000
+    #: ...and a byte-denominated ceiling alongside it: the scope aggregate
+    #: carries per-column sketch columns (quantile arrays, counters), so a
+    #: row cap alone under-protects the driver for wide schemas.
+    localize_bytes_cap = 256 * 1024 * 1024
+
+    @staticmethod
+    def _est_row_width(schema) -> int:
+        """Rough serialized bytes per row from the schema — enough to turn
+        the byte ceiling into a row cap (sketch arrays dominate)."""
+        from pyspark.sql import types as T
+
+        width = 0
+        for f in schema.fields:
+            t = f.dataType
+            if isinstance(t, T.ArrayType):
+                width += 8 * 32
+            elif isinstance(t, (T.MapType, T.BinaryType)):
+                width += 1024
+            elif isinstance(t, T.StringType):
+                width += 64
+            else:
+                width += 16
+        return max(width, 64)
 
     def _localize(self, agg: DataFrame) -> tuple[DataFrame, bool]:
         """Materialize a (by-design tiny) aggregate as a driver-local table so
         every downstream consumer reads rows, never the build plan. Falls back
-        to ``persist()`` if the aggregate exceeds ``localize_cap`` rows."""
-        rows = agg.limit(self.localize_cap + 1).collect()
-        if len(rows) > self.localize_cap:
-            return agg.persist(), False
+        to a persisted distributed plan when the aggregate exceeds the row or
+        byte cap. The plan is persisted BEFORE the probing collect, so the
+        fallback's first consumer reuses the already-computed partitions
+        instead of recomputing the whole aggregation."""
+        cap = min(
+            self.localize_cap,
+            max(1, self.localize_bytes_cap // self._est_row_width(agg.schema)),
+        )
+        plan = agg.persist()
+        rows = plan.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return plan, False
+        plan.unpersist()
         return agg.sparkSession.createDataFrame(rows, agg.schema), True
 
     def validate(
@@ -358,7 +396,9 @@ class ValidationEngine:
         dims = dims or {}
         row_rules, plan_rules = self._split_rules(df, ruleset)
 
-        extent_rules = [r for r in plan_rules if r.rule_type == "extent"]
+        extent_rules = [
+            r for r in plan_rules if r.rule_type in ("extent", "extent_congruence")
+        ]
         cat_cols = sorted(
             {
                 r.column

@@ -169,12 +169,19 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banded signatures,
     verified with exact Jaccard over the shingle sets →
     (id_a, id_b, jaccard). Only candidate pairs are verified — the exact
-    join runs on the (small) candidate set, not all pairs."""
+    join runs on the (small) candidate set, not all pairs. ``max_df`` drops
+    boilerplate shingles before signing AND verifying (the same frequency cut
+    as ``ngram_jaccard_pairs`` — a stopword-run shingle on a real corpus
+    otherwise dominates every signature)."""
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sig = signatures_from_shingles(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -58,6 +58,25 @@ def brute_force_topk(
     )
 
 
+def nbits_for(n: int) -> int:
+    """Scale-aware sign-LSH width: ≈log2(corpus) bits keeps expected bucket
+    occupancy O(1), so in-bucket pairing stays linear as the corpus grows
+    (a FIXED nbits makes every bucket — and its pair join — grow
+    quadratically with N)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 2))))
+
+
+def n_centroids_for(n: int) -> int:
+    """Scale-aware IVF list count: ≈√N centroids balances quantizer cost
+    (N·C assignment work) against list length (N/C scored per probe) — the
+    standard IVF sizing rule."""
+    import math
+
+    return max(1, round(math.sqrt(n)))
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).astype(np.float64)
@@ -69,12 +88,14 @@ def add_lsh_bucket(
     nbits: int = 8,
     seed: int = 7,
     out_col: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket id per vector — ONE vectorized
     pandas UDF over Arrow batches (a numpy matmul per batch, no per-row
-    Python). Deterministic: hyperplanes are seeded."""
-    first = df.select(F.size(vec_col)).first()
-    dim = first[0]
+    Python). Deterministic: hyperplanes are seeded. Pass ``dim`` when known —
+    probing it via ``first()`` executes the upstream plan once extra."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     planes = _hyperplanes(dim, nbits, seed)
 
     @F.pandas_udf(T.IntegerType())
@@ -91,24 +112,29 @@ def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nbits: int = 8,
+    nbits: int | None = 8,
     seed: int = 7,
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors whose LSH bucket is
     within ``probe_hamming`` bits of the query's bucket (multi-probe).
     → (query_id, vec_id, sim, rank). Recall rises with probe_hamming and
-    falls with nbits; exactness is recovered at probe_hamming=nbits."""
+    falls with nbits; exactness is recovered at probe_hamming=nbits.
+    ``nbits=None`` derives ≈log2(corpus) from a count (see ``nbits_for``);
+    pass ``dim`` to avoid the first() schema probe."""
+    if nbits is None:
+        nbits = nbits_for(embeddings.count())
     corpus = add_lsh_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")),
-        "__vec", nbits, seed,
+        "__vec", nbits, seed, dim=dim,
     )
     q = add_lsh_bucket(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")),
-        "__qvec", nbits, seed, out_col="qbucket",
+        "__qvec", nbits, seed, out_col="qbucket", dim=dim,
     )
     # expand each query to its probe buckets (bucket ids within hamming≤p)
     probes = [0] + ([1 << b for b in range(nbits)] if probe_hamming >= 1 else [])
@@ -206,7 +232,7 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 2,
     seed: int = 7,
     lloyd_iters: int = 2,
@@ -220,7 +246,10 @@ def ivf_topk(
     → (query_id, vec_id, sim, rank). Recall rises with nprobe (exact at
     nprobe=n_centroids); expected cost per query is nprobe/C of the corpus.
     At cluster scale the corpus assignment is computed once and persisted as
-    a bucketed/partitioned-by-cid table; queries then prune partitions."""
+    a bucketed/partitioned-by-cid table; queries then prune partitions.
+    ``n_centroids=None`` derives ≈√corpus from a count (``n_centroids_for``)."""
+    if n_centroids is None:
+        n_centroids = n_centroids_for(embeddings.count())
     cents = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col, seed, lloyd_iters)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
@@ -243,17 +272,24 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 8,
+    nbits: int | None = None,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs sharing
     a bucket with cosine ≥ threshold → (id_a, id_b, sim). Near-identical
     vectors collide in every bit with high probability, so a single-bucket
-    join finds them without the all-pairs product."""
+    join finds them without the all-pairs product. ``nbits`` defaults to
+    ≈log2(corpus) (``nbits_for``) so bucket occupancy — and the quadratic
+    in-bucket pairing — stays O(1) per bucket as the corpus grows; pass it
+    explicitly to pin recall, and ``dim`` to skip the first() schema probe."""
+    if nbits is None:
+        nbits = nbits_for(embeddings.count())
     b = add_lsh_bucket(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v", nbits, seed
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", nbits, seed, dim=dim,
     )
     lhs = b.alias("a")
     rhs = b.alias("b")

@@ -103,6 +103,56 @@ def with_chargram_fingerprints(
     )
 
 
+def strip_rank_prefix(name: Column) -> Column:
+    """F17 (reference taxa.py:2227-2253 ``taxa_strip``): remove NCBI ``k__``
+    style rank annotations from taxon names. NULL when the name is ONLY the
+    annotation (e.g. ``s__`` — a match to an unknown sequence); names without
+    a prefix pass through unchanged. Pure ``regexp_replace``/``nullif``."""
+    stripped = F.regexp_replace(name, r"^[a-z]__", "")
+    return F.nullif(stripped, F.lit(""))
+
+
+def rank_prefix_consistent(name: Column, rank: Column) -> Column:
+    """F17 companion: true when the name has no ``k__`` prefix OR the prefix
+    letter matches the expected rank's initial (case-insensitive) — the
+    reference errors on 'Prefix of taxon X inconsistent with rank Y'
+    (taxa.py:2246-2248)."""
+    has_prefix = name.rlike(r"^[a-z]__")
+    return ~has_prefix | (
+        F.lower(F.substring(name, 1, 1)) == F.lower(F.substring(rank, 1, 1))
+    )
+
+
+def build_binomial(higher: Column, lower: Column, tri: bool = False) -> Column:
+    """F18 (reference taxa.py:2256-2326 ``construct_bi_or_tri``): assemble a
+    species binomial (or subspecies trinomial with ``tri=True``) from NCBI's
+    separate name components, handling 'Candidatus' tags. NULL where the
+    reference raises ValueError (unparseable inputs). One ``when`` cascade
+    over word-split arrays — no UDF."""
+    n = 3 if tri else 2
+    h, low = F.trim(higher), F.trim(lower)
+    hw, lw = F.split(h, r"\s+"), F.split(low, r"\s+")
+    n_h, n_l = F.size(hw), F.size(lw)
+    h_cand = F.lower(h).startswith("candidatus")
+    l_cand = F.lower(low).startswith("candidatus")
+    # lower name with its first word ('Candidatus') removed
+    l_rest = F.array_join(F.slice(lw, 2, F.greatest(n_l - 1, F.lit(0))), " ")
+    joined = F.concat(h, F.lit(" "), low)
+    return (
+        F.when((n_l == 1) & (n_h == n - 1), joined)
+        .when(l_cand, F.concat(h, F.lit(" "), l_rest))
+        .when(h_cand, joined)
+        .when(F.lit(tri) & (n_h == 1), F.lit(None).cast("string"))  # species too short
+        .when(
+            n_l > n_h,
+            F.when(F.lower(low).startswith(F.lower(h)), low).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))  # higher name too long
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: penalises very short/very long
     docs, high punctuation density, low alpha ratio, and low stopword ratio —

@@ -457,11 +457,19 @@ FROM documents
 
 JACCARD_N = 5
 JACCARD_THRESHOLD = 0.08
+#: boilerplate frequency cut — a shingle present in more than this many docs
+#: carries no discrimination and makes its self-join bucket quadratic
+SHINGLE_MAX_DF = 20
+#: embeddings table vector width (fixed by TESTDATA.md) — passed explicitly
+#: so the LSH/IVF paths never probe it with an extra first() job
+EMB_DIM = 64
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    pairs = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+    )
     return pairs.select(
         "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -472,10 +480,14 @@ WITH toks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+{JACCARD_N - 1}], ' ') AS shingle
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i)
   WHERE len(t) >= {JACCARD_N} AND shingle <> ''
+), sh AS (
+  SELECT s.* FROM sh0 s
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING count(*) <= {SHINGLE_MAX_DF}) keep USING (shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
@@ -643,6 +655,93 @@ FROM closure GROUP BY depth
 """
 
 # --------------------------------------------------------------------------
+# 18b. Taxon-style name resolution (J6; reference taxa.py:356-412 status
+#      disambiguation + the validate_and_add_taxon decision table): events
+#      claim synthetic (name, rank) pairs against a nations-derived dimension
+#      with planted synonym / ambiguous / missing cases; the oracle replays
+#      the decision table as a SQL window.
+# --------------------------------------------------------------------------
+
+def q_name_resolution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path: eval_name_resolution violations over deterministic
+    claims. Dimension statuses by nationkey: %7==3 → synonym, else %5==2 →
+    doubtful with a planted second doubtful usage (→ ambiguous); claims
+    cover user_id % 32, so residues ≥ 25 miss the 25-nation dimension."""
+    from safedata_validator_spark.engine.hierarchy import eval_name_resolution
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    status = (
+        F.when(k % 7 == 3, "synonym").when(k % 5 == 2, "doubtful").otherwise("accepted")
+    )
+    base = nat.select(
+        k.alias("node_id"),
+        F.concat(F.lit("NATION_"), k.cast("string")).alias("name"),
+        F.lit("nation").alias("rank"),
+        status.alias("status"),
+    )
+    twins = nat.where((k % 5 == 2) & (k % 7 != 3)).select(
+        (k + 100).alias("node_id"),
+        F.concat(F.lit("NATION_"), k.cast("string")).alias("name"),
+        F.lit("nation").alias("rank"),
+        F.lit("doubtful").alias("status"),
+    )
+    dim = base.unionByName(twins)
+
+    ev = _t(spark, sf_dir, "events")
+    claims = ev.select(
+        F.concat(F.lit("NATION_"), (F.col("user_id") % 32).cast("string")).alias("name"),
+        F.lit("nation").alias("rank"),
+    )
+    rule = Rule("name_resolution", "name_resolution", severity="ERROR",
+                params={"dim": "taxa", "name_col": "name", "rank_col": "rank"})
+    rs = RuleSet(name="nr", key_cols=["name"], scope="'all'", rules=[rule])
+    return eval_name_resolution(claims, rule, rs, {"taxa": dim})
+
+
+SQL_NAME_RESOLUTION_EVENTS = """
+WITH dim AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS node_id,
+         'NATION_' || CAST(n_nationkey AS BIGINT) AS name,
+         CASE WHEN n_nationkey % 7 = 3 THEN 'synonym'
+              WHEN n_nationkey % 5 = 2 THEN 'doubtful'
+              ELSE 'accepted' END AS status
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey + 100 AS BIGINT), 'NATION_' || CAST(n_nationkey AS BIGINT), 'doubtful'
+  FROM nation WHERE n_nationkey % 5 = 2 AND n_nationkey % 7 <> 3
+), pri AS (
+  SELECT *, CASE status WHEN 'accepted' THEN 0 WHEN 'doubtful' THEN 1 ELSE 2 END AS prio
+  FROM dim
+), pref AS (
+  SELECT name, node_id, status, prio,
+         row_number() OVER (PARTITION BY name ORDER BY prio, node_id) AS rn,
+         count(*) OVER (PARTITION BY name, prio) AS nbest
+  FROM pri QUALIFY rn = 1
+), claims AS (
+  SELECT 'NATION_' || (user_id % 32) AS name, count(*) AS n
+  FROM events GROUP BY 1
+), resolved AS (
+  SELECT c.name, c.n,
+         CASE WHEN p.node_id IS NULL THEN 'missing'
+              WHEN p.nbest > 1 AND p.prio > 0 THEN 'ambiguous'
+              WHEN p.status = 'synonym' THEN 'synonym'
+              ELSE 'found' END AS match_status
+  FROM claims c LEFT JOIN pref p ON c.name = p.name
+)
+SELECT 'name_resolution.' || match_status AS rule_id,
+       CASE WHEN match_status = 'synonym' THEN 'WARNING' ELSE 'ERROR' END AS severity,
+       'all' AS scope,
+       'name=' || name || '/rank=nation' AS entity,
+       'name' AS "column",
+       name AS value,
+       'name resolution: ' || match_status || ' for (' || name || ', nation) ('
+         || n || ' rows)' AS message
+FROM resolved WHERE match_status <> 'found'
+"""
+
+# --------------------------------------------------------------------------
 # 19. Sessionization (gap > 30 min splits a session) — the lag+cumsum window
 #     composition; per-user session stats.
 # --------------------------------------------------------------------------
@@ -778,7 +877,9 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded with probability 1-(1-s^4)^16 ≈ 1 for the planted near-dups
     (s ≥ 0.95), so candidates+verify reproduce the exact pair set."""
     d = _t(spark, sf_dir, "documents")
-    out = dd.minhash_lsh_dedup(d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+    out = dd.minhash_lsh_dedup(
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -787,10 +888,14 @@ WITH toks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+{JACCARD_N - 1}], ' ') AS shingle
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {JACCARD_N - 1})) AS i)
   WHERE len(t) >= {JACCARD_N} AND shingle <> ''
+), sh AS (
+  SELECT s.* FROM sh0 s
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING count(*) <= {SHINGLE_MAX_DF}) keep USING (shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
@@ -823,7 +928,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.lsh_topk(e, queries, k=TOPK_K, nbits=8, probe_hamming=1)
+    out = sim.lsh_topk(e, queries, k=TOPK_K, nbits=8, probe_hamming=1, dim=EMB_DIM)
     return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
 
 
@@ -1026,13 +1131,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_transcript_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship engine run: full rule set over the synthetic bad transcript
-    table (deterministic, independent of sf_dir scale)."""
+    table (deterministic, independent of sf_dir scale), including the
+    manifest-declared-vs-computed temporal extent congruence rule
+    (reference final_checks, field.py:283-318)."""
     from safedata_validator_spark.data.synth import dims, transcripts_bad
     from safedata_validator_spark.engine.validator import ValidationEngine
-    from safedata_validator_spark.rules.presets import transcript_ruleset
+    from safedata_validator_spark.rules.presets import SOFT_TS_BOUNDS, transcript_ruleset
 
     res = ValidationEngine().validate(
-        transcripts_bad(spark), transcript_ruleset(), dims(spark), with_stats=False
+        transcripts_bad(spark),
+        transcript_ruleset(declared_ts_extent=SOFT_TS_BOUNDS),
+        dims(spark),
+        with_stats=False,
     )
     return res.verdicts.select("scope", "rule_id", "severity", "n_rows", "n_failed", "passed")
 
@@ -1057,6 +1167,7 @@ SELECT * FROM (VALUES
   ('all', 'tool.ref_integrity', 'ERROR', 3401, 1, false),
   ('all', 'tool.ref_integrity.alias', 'WARNING', 3401, 1, true),
   ('all', 'tool.requires_tool_role', 'ERROR', 3401, 0, true),
+  ('all', 'ts.extent_congruence', 'ERROR', 3401, 1, false),
   ('all', 'ts.extent_hard', 'ERROR', 3401, 1, false),
   ('all', 'ts.extent_soft', 'WARNING', 3401, 1, true),
   ('all', 'ts.monotone', 'ERROR', 3401, 1, false),
@@ -1085,6 +1196,7 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "embedding_topk": q_embedding_topk,
     "hierarchy_closure": q_hierarchy_closure,
+    "name_resolution_events": q_name_resolution_events,
     "sessionize_events": q_sessionize_events,
     "media_features": q_media_features,
     "quality_docs": q_quality_docs,
@@ -1122,6 +1234,7 @@ ORACLES = {
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
+    "name_resolution_events": SQL_NAME_RESOLUTION_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "media_features": SQL_MEDIA_FEATURES,

@@ -22,6 +22,9 @@ from safedata_validator_spark.rules.model import ERROR, WARNING
 from safedata_validator_spark.rules import patterns as P
 
 ACCESS_LEVELS = ("open", "embargo", "restricted")
+PERMIT_TYPES = {"research", "export", "ethics"}
+#: the reference's reserved metadata sheet names (summary.py:716-718)
+STANDARD_SHEETS = {"Summary", "GBIFTaxa", "NCBITaxa", "Taxa", "Locations"}
 
 Problem = tuple[str, str, str]  # (severity, field, message)
 
@@ -58,9 +61,18 @@ def validate_manifest(
     * ``doi`` — resolvable doi.org URL when present;
     * ``project_ids`` — list of ints (membership against the configured
       project dimension is a ref_integrity rule, not a manifest check);
-    * ``tables`` — list of table names the run will validate (the analogue
-      of the declared-worksheets block, checked against actual inputs by
-      the caller).
+    * ``funding`` — list of {body, type, ref?, url?} (summary.py:599-615);
+    * ``permits`` — list of {type, authority, number}; type restricted to
+      research/export/ethics (summary.py:542-564);
+    * ``external_files`` — list of {file, description}; names must not
+      contain whitespace (summary.py:672-699);
+    * ``temporal_extent`` {start, end} / ``geographic_extent``
+      {west, east, south, north} — declared extents (summary.py:617-670);
+      congruence against data-computed extents is the engine's
+      extent_congruence rule (see ``declared_extent_rules``);
+    * ``tables`` — the declared-worksheets block: names or
+      {name, title, description, external?} dicts; checked against actual
+      inputs by ``check_declared_tables`` (summary.py:699-775).
 
     ``today`` is injectable for deterministic tests.
     """
@@ -131,11 +143,167 @@ def validate_manifest(
         if not isinstance(pid, int) or isinstance(pid, bool):
             err(f"project_ids[{i}]", f"project id must be an integer: {pid!r}")
 
-    # -- tables --------------------------------------------------------------
+    # -- funding (reference summary.py:599-615: body + type mandatory,
+    # reference number and URL optional) ---------------------------------------
+    for i, fnd in enumerate(manifest.get("funding") or []):
+        fid = f"funding[{i}]"
+        if _blank(fnd.get("body")):
+            err(f"{fid}.body", "funding body is required")
+        if _blank(fnd.get("type")):
+            err(f"{fid}.type", "funding type is required")
+        url = fnd.get("url")
+        if not _blank(url) and not re.match(r"^https?://\S+$", str(url)):
+            warn(f"{fid}.url", f"funding link does not look like a URL: {url!r}")
+
+    # -- permits (reference summary.py:542-564: type/authority/number all
+    # mandatory; type restricted to research/export/ethics) --------------------
+    for i, pm in enumerate(manifest.get("permits") or []):
+        fid = f"permits[{i}]"
+        ptype = pm.get("type")
+        if _blank(ptype):
+            err(f"{fid}.type", "permit type is required")
+        elif str(ptype).lower() not in PERMIT_TYPES:
+            err(f"{fid}.type", f"unknown permit type (allowed {sorted(PERMIT_TYPES)}): {ptype!r}")
+        if _blank(pm.get("authority")):
+            err(f"{fid}.authority", "permit authority is required")
+        if _blank(pm.get("number")):
+            err(f"{fid}.number", "permit number is required")
+
+    # -- external files (reference summary.py:672-699: file + description
+    # mandatory; file names must not contain whitespace) ------------------------
+    external_names: set[str] = set()
+    for i, ex in enumerate(manifest.get("external_files") or []):
+        fid = f"external_files[{i}]"
+        fname = ex.get("file")
+        if _blank(fname):
+            err(f"{fid}.file", "external file name is required")
+        else:
+            if re.search(r"\s", str(fname)):
+                err(f"{fid}.file", f"external file names must not contain whitespace: {fname!r}")
+            external_names.add(str(fname))
+        if _blank(ex.get("description")):
+            err(f"{fid}.description", "external file description is required")
+
+    # -- declared extents (validated here; congruence against data-computed
+    # extents is the engine's extent_congruence rule — reference summary
+    # _load_temporal_extent / _load_geographic_extent, summary.py:617-670) -----
+    te = manifest.get("temporal_extent")
+    if te is not None:
+        start, end = _parse_date(te.get("start")), _parse_date(te.get("end"))
+        if start is None or end is None:
+            err("temporal_extent", f"start/end must be ISO dates: {te!r}")
+        elif start > end:
+            err("temporal_extent", "start date is after end date")
+    ge = manifest.get("geographic_extent")
+    if ge is not None:
+        vals = {k: ge.get(k) for k in ("west", "east", "south", "north")}
+        if not all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals.values()):
+            err("geographic_extent", f"west/east/south/north must all be numeric: {ge!r}")
+        else:
+            if vals["south"] > vals["north"]:
+                err("geographic_extent", "south limit is greater than north limit")
+            if vals["west"] > vals["east"]:
+                err("geographic_extent", "west limit is greater than east limit")
+
+    # -- tables (worksheet block analogue — reference summary.py:699-775):
+    # entries are names or {name, title, description, external?} dicts ---------
     tables = manifest.get("tables")
-    if tables is not None and not tables:
-        warn("tables", "empty table list declared")
+    if tables is not None and not tables and not external_names:
+        err("tables", "no tables or external files declared - no data")
+    elif tables is not None and not tables:
+        warn("tables", "only external file descriptions provided")
+    for i, t in enumerate(tables or []):
+        fid = f"tables[{i}]"
+        entry = t if isinstance(t, dict) else {"name": t}
+        name = entry.get("name")
+        if _blank(name):
+            err(f"{fid}.name", "table name is required")
+        elif str(name) in STANDARD_SHEETS:
+            err(f"{fid}.name", f"do not declare standard metadata sheets as data tables: {name!r}")
+        if isinstance(t, dict):
+            if _blank(entry.get("title")):
+                err(f"{fid}.title", "table title is required")
+            if _blank(entry.get("description")):
+                err(f"{fid}.description", "table description is required")
+        ext = entry.get("external")
+        if not _blank(ext) and str(ext) not in external_names:
+            err(f"{fid}.external", f"table linked to undeclared external file: {ext!r}")
     return problems
+
+
+def declared_table_names(manifest: dict[str, Any]) -> set[str]:
+    """Names declared in the manifest's tables block (string or dict form)."""
+    return {
+        str(t.get("name") if isinstance(t, dict) else t)
+        for t in (manifest.get("tables") or [])
+    }
+
+
+def check_declared_tables(
+    manifest: dict[str, Any], actual_tables: list[str]
+) -> list[Problem]:
+    """Cross-reference declared tables against the run's actual inputs —
+    the engine form of the reference's worksheet checks (summary.py:699-775):
+    declared-but-absent is an error ('Data worksheet X not found'), present-
+    but-undocumented is an error ('Undocumented sheets found in workbook')."""
+    problems: list[Problem] = []
+    declared = declared_table_names(manifest)
+    actual = set(actual_tables)
+    for name in sorted(declared - actual):
+        problems.append((ERROR, f"tables.{name}", f"declared table {name!r} not found in inputs"))
+    for name in sorted(actual - declared - STANDARD_SHEETS):
+        problems.append((ERROR, f"tables.{name}", f"undocumented input table: {name!r}"))
+    return problems
+
+
+def declared_extent_rules(
+    manifest: dict[str, Any],
+    temporal_column: str | None = None,
+    lat_column: str | None = None,
+    lon_column: str | None = None,
+    advisory: bool = False,
+) -> list:
+    """Compile the manifest's declared extents into extent_congruence rules
+    over the named data columns — the bridge between the Summary-declared
+    extents and the engine's data-computed ones (reference final_checks,
+    field.py:283-318). Returns [] when the manifest declares nothing."""
+    from safedata_validator_spark.rules.model import ERROR as SEV_ERROR
+    from safedata_validator_spark.rules.model import Rule
+
+    rules = []
+    te = manifest.get("temporal_extent")
+    if te is not None and temporal_column:
+        rules.append(
+            Rule(
+                f"{temporal_column}.extent_congruence",
+                "extent_congruence",
+                column=temporal_column,
+                severity=SEV_ERROR,
+                params={
+                    "declared_lo": str(te.get("start")),
+                    "declared_hi": str(te.get("end")),
+                    "advisory": advisory,
+                },
+            )
+        )
+    ge = manifest.get("geographic_extent")
+    if ge is not None:
+        for col, lo_k, hi_k in ((lat_column, "south", "north"), (lon_column, "west", "east")):
+            if col:
+                rules.append(
+                    Rule(
+                        f"{col}.extent_congruence",
+                        "extent_congruence",
+                        column=col,
+                        severity=SEV_ERROR,
+                        params={
+                            "declared_lo": ge.get(lo_k),
+                            "declared_hi": ge.get(hi_k),
+                            "advisory": advisory,
+                        },
+                    )
+                )
+    return rules
 
 
 def manifest_passed(problems: list[Problem]) -> bool:

@@ -17,7 +17,31 @@ HARD_TS_BOUNDS = ("2020-01-01 00:00:00", "2031-01-01 00:00:00")
 SOFT_TS_BOUNDS = ("2022-01-01 00:00:00", "2030-01-01 00:00:00")
 
 
-def transcript_ruleset(scope: str = "'all'", block_size: int = 4096) -> RuleSet:
+def transcript_ruleset(
+    scope: str = "'all'",
+    block_size: int = 4096,
+    declared_ts_extent: tuple[str, str] | None = None,
+    extent_advisory: bool = False,
+) -> RuleSet:
+    """``declared_ts_extent`` wires a manifest-declared temporal extent into a
+    declared-vs-computed congruence rule (reference final_checks,
+    field.py:283-318); ``extent_advisory`` additionally emits the reference's
+    both-populated WARNING ("may be deliberate")."""
+    extra = []
+    if declared_ts_extent is not None:
+        extra.append(
+            Rule(
+                "ts.extent_congruence",
+                "extent_congruence",
+                column="ts",
+                severity=ERROR,
+                params={
+                    "declared_lo": declared_ts_extent[0],
+                    "declared_hi": declared_ts_extent[1],
+                    "advisory": extent_advisory,
+                },
+            )
+        )
     return RuleSet(
         name="transcripts.default",
         key_cols=["conv_id", "turn_idx"],
@@ -66,5 +90,5 @@ def transcript_ruleset(scope: str = "'all'", block_size: int = 4096) -> RuleSet:
                  params={"lo": HARD_TS_BOUNDS[0], "hi": HARD_TS_BOUNDS[1]}),
             Rule("ts.extent_soft", "extent", column="ts", severity=WARNING,
                  params={"lo": SOFT_TS_BOUNDS[0], "hi": SOFT_TS_BOUNDS[1]}),
-        ],
+        ] + extra,
     )

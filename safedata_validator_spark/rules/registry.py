@@ -20,7 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from safedata_validator_spark.engine.drift import eval_drift
-from safedata_validator_spark.engine.extents import eval_extent
+from safedata_validator_spark.engine.extents import eval_extent, eval_extent_congruence
 from safedata_validator_spark.engine.hierarchy import (
     eval_hierarchy_congruence,
     eval_name_resolution,
@@ -46,6 +46,7 @@ PLAN_EVALUATORS: dict[str, PlanEvaluator] = {
     "ref_integrity": eval_ref_integrity,
     "levels_audit": eval_levels_audit,
     "extent": eval_extent,
+    "extent_congruence": eval_extent_congruence,
     "drift": eval_drift,
     "hierarchy_congruence": eval_hierarchy_congruence,
     "name_resolution": eval_name_resolution,

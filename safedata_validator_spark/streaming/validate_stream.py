@@ -100,9 +100,11 @@ def stateful_sequence_violations(
             return
         batch = batch.sort_values(order, kind="mergesort", ignore_index=True)
         idx = batch[order].astype("int64")
-        ts_us = (
-            pd.to_datetime(batch[ts_col]).fillna(pd.Timestamp(0)).astype("int64")
-        )
+        # null ts stays unknown (NaN) — a filled sentinel (epoch 0) would
+        # flag a spurious regression on the next real timestamp
+        ts_parsed = pd.to_datetime(batch[ts_col])
+        ts_us = pd.Series(ts_parsed.values.astype("int64"), index=batch.index, dtype="float64")
+        ts_us[ts_parsed.isna()] = float("nan")
         role = batch[role_col].astype("string")
 
         if state.exists:
@@ -117,8 +119,11 @@ def stateful_sequence_violations(
         prev_ts = ts_us.shift(1)
         prev_role = role.shift(1)
         if state.exists:
-            prev_ts.iloc[0] = last_ts_us
-            prev_role.iloc[0] = last_role
+            # carried values may be None (the conversation's last seen
+            # role/ts was null) — they stay NaN/NA and the corresponding
+            # edge/regression checks below skip the unknown side
+            prev_ts.iloc[0] = float("nan") if last_ts_us is None else last_ts_us
+            prev_role.iloc[0] = last_role if last_role is not None else pd.NA
 
         out = []
         gaps = idx != (prev_idx + 1)
@@ -138,7 +143,7 @@ def stateful_sequence_violations(
                     }
                 )
             )
-        regress = prev_ts.notna() & (ts_us < prev_ts)
+        regress = prev_ts.notna() & ts_us.notna() & (ts_us < prev_ts)
         if regress.any():
             r = batch[regress]
             out.append(
@@ -154,9 +159,16 @@ def stateful_sequence_violations(
             )
         if check_grammar:
             edge = prev_role.fillna("") + "→" + role.fillna("")
-            opening = prev_role.isna()
-            bad = (~opening & ~edge.isin(trans_set)) | (
-                opening & (len(start_set) > 0) & ~role.isin(start_set)
+            # the true opening is only the first row of a NEW conversation;
+            # any other null prev role (carried None, or a null role in the
+            # previous row) is UNKNOWN — neither an opening nor a checkable
+            # edge, so its transition check is skipped
+            is_opening = pd.Series(False, index=batch.index)
+            if not state.exists:
+                is_opening.iloc[0] = True
+            unknown_prev = prev_role.isna() & ~is_opening
+            bad = (~is_opening & ~unknown_prev & ~edge.isin(trans_set)) | (
+                is_opening & (len(start_set) > 0) & ~role.isin(start_set)
             )
             if bad.any():
                 b = batch[bad]
@@ -172,7 +184,9 @@ def stateful_sequence_violations(
                     )
                 )
 
-        state.update((int(idx.iloc[-1]), int(ts_us.iloc[-1]), str(role.iloc[-1])))
+        last_ts_out = None if pd.isna(ts_us.iloc[-1]) else int(ts_us.iloc[-1])
+        last_role_out = None if pd.isna(role.iloc[-1]) else str(role.iloc[-1])
+        state.update((int(idx.iloc[-1]), last_ts_out, last_role_out))
         if out:
             yield pd.concat(out, ignore_index=True)
 

@@ -161,3 +161,62 @@ def test_stream_ruleset_restriction():
     srs = stream_row_ruleset(rs)
     assert all(r.rule_type not in ("sequential", "monotone", "unique_key") for r in srs.rules)
     assert any(r.rule_type == "not_blank" for r in srs.rules)
+
+
+def test_stateful_null_role_and_ts_state(spark, tmp_path):
+    """A batch ending on a null role / null ts must persist None in state —
+    not the literal '<NA>' / epoch 0 — so the next micro-batch neither flags
+    a spurious '<NA>->x' transition nor a spurious time regression
+    (ADVICE r01). Null-ts/role rows themselves are row-rule territory."""
+    from datetime import datetime, timedelta
+
+    from safedata_validator_spark.streaming.validate_stream import (
+        stateful_sequence_violations,
+    )
+
+    src = str(tmp_path / "null_src")
+    ck = str(tmp_path / "null_ck")
+    sink = str(tmp_path / "null_out")
+    schema = "conv_id string, turn_idx long, role string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = stateful_sequence_violations(
+            stream,
+            transitions=[["user", "assistant"], ["assistant", "user"]],
+            allowed_start=["user"],
+        )
+        q = (
+            out.writeStream.outputMode("append").format("parquet")
+            .option("path", sink).option("checkpointLocation", ck).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r["conv_id"], r["turn_idx"], r["rule_id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: conversation C ends on a null-role, null-ts turn
+    write_batch([
+        ("C", 1, "user", t0),
+        ("C", 2, None, None),
+    ])
+    got1 = run_once()
+    # turn 2's own null role breaks the user->? edge (within-batch check)
+    assert ("C", 2, "stream.grammar") in got1
+
+    # batch 2: a legal-looking continuation — the carried None role/ts must
+    # not fabricate a '<NA>->user' grammar violation or a regression vs epoch
+    write_batch([
+        ("C", 3, "user", t0 + timedelta(minutes=1)),
+    ])
+    got2 = run_once()
+    new = got2 - got1
+    assert new == set(), f"spurious violations from carried null state: {new}"

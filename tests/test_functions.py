@@ -311,3 +311,61 @@ def test_chargram_winnowing_fingerprints(spark, docs):
     got = {r["doc_id"]: r["fps"] for r in tx.with_chargram_fingerprints(
         short, "text", out="fps", k=8, w=4).select("doc_id", "fps").collect()}
     assert got[1] == [] and got[2] == []
+
+
+# -- F17/F18 taxon-name helpers (reference taxa.py:2227-2326; the test
+# matrices mirror test/test_ncbi_taxa.py:195-360) ---------------------------
+
+@pytest.mark.parametrize(
+    "name,rank,stripped,consistent",
+    [
+        ("Bacteria", "Kingdom", "Bacteria", True),
+        ("k__Bacteria", "Kingdom", "Bacteria", True),
+        ("k__Bacteria", "Phylum", "Bacteria", False),  # prefix/rank mismatch
+        ("p__Acidobacteria", "Phylum", "Acidobacteria", True),
+        ("s__", "Species", None, True),  # anonymous sequence-level annotation
+    ],
+)
+def test_strip_rank_prefix(spark, name, rank, stripped, consistent):
+    row = (
+        spark.createDataFrame([(name, rank)], "name string, rank string")
+        .select(
+            tx.strip_rank_prefix(F.col("name")).alias("s"),
+            tx.rank_prefix_consistent(F.col("name"), F.col("rank")).alias("c"),
+        )
+        .first()
+    )
+    assert row["s"] == stripped and row["c"] == consistent
+
+
+@pytest.mark.parametrize(
+    "higher,lower,tri,expected",
+    [
+        ("Escherichia", "coli", False, "Escherichia coli"),
+        ("Escherichia", "Escherichia coli", False, "Escherichia coli"),
+        ("Gorilla", "gorilla", False, "Gorilla gorilla"),
+        ("Candidatus Koribacter", "Candidatus versatilis", False,
+         "Candidatus Koribacter versatilis"),
+        ("Candidatus Koribacter", "versatilis", False,
+         "Candidatus Koribacter versatilis"),
+        ("Over long genus name", "vulpes", False, None),      # genus too long
+        ("Canis", "Vulpes vulpes", False, None),              # inconsistent genus
+        ("Vulpes vulpes", "japonica", True, "Vulpes vulpes japonica"),
+        ("Candidatus Koribacter versatilis", "Ellin345", True,
+         "Candidatus Koribacter versatilis Ellin345"),
+        ("Candidatus Koribacter versatilis", "Candidatus Ellin345", True,
+         "Candidatus Koribacter versatilis Ellin345"),
+        ("Vulpes vulpes", "Vulpes vulpes schrenckii", True,
+         "Vulpes vulpes schrenckii"),
+        ("Canis vulpes", "Vulpes vulpes schrenckii", True, None),  # inconsistent sp.
+        ("Over long name", "schrenckii", True, None),         # species too long
+        ("Vulpes", "Vulpes vulpes schrenckii", True, None),   # species too short
+    ],
+)
+def test_build_binomial(spark, higher, lower, tri, expected):
+    row = (
+        spark.createDataFrame([(higher, lower)], "h string, l string")
+        .select(tx.build_binomial(F.col("h"), F.col("l"), tri=tri).alias("nm"))
+        .first()
+    )
+    assert row["nm"] == expected

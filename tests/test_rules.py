@@ -218,3 +218,44 @@ def test_validate_null_scope_rows(spark, dims):
     assert verd[(None, "v.not_blank")]["n_failed"] == 1
     assert verd[(None, "v.not_blank")]["n_rows"] == 2
     assert verd[("a", "v.not_blank")]["n_failed"] == 0
+
+
+def test_membership_coerces_mixed_numeric_types(spark):
+    """Membership joins compare canonical string renderings: a DOUBLE fact
+    value 1.0 must match a dim INT key 1 (Spark's native join coercion
+    semantics, preserved through the counts cache — ADVICE r01)."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0), ("c", 3, 2.5), ("d", 4, None)],
+        "conv_id string, turn_idx int, code double",
+    )
+    dims = {"codes": spark.createDataFrame([(1,), (2,)], "code int")}
+    rs = RuleSet(
+        name="coerce", key_cols=["conv_id", "turn_idx"], scope="'all'",
+        rules=[Rule("code.ref_integrity", "ref_integrity", column="code",
+                    params={"dim": "codes", "dim_key": "code"})],
+    )
+    viols = ValidationEngine().validate(df, rs, dims, with_stats=False).violations.collect()
+    assert [v["value"] for v in viols] == ["2.5"]
+
+
+def test_levels_audit_coerces_mixed_numeric_types(spark):
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 30.5)],
+        "conv_id string, turn_idx int, level double",
+    )
+    dims = {"levels": spark.createDataFrame([(10,), (20,)], "lv int")}
+    rs = RuleSet(
+        name="coerce2", key_cols=["conv_id", "turn_idx"], scope="'all'",
+        rules=[Rule("level.levels_audit", "levels_audit", column="level",
+                    params={"dim": "levels", "dim_key": "lv"})],
+    )
+    viols = ValidationEngine().validate(df, rs, dims, with_stats=False).violations.collect()
+    got = {(v["rule_id"], v["value"]) for v in viols}
+    # 30.5 undeclared; declared 20 never used; 10.0 matches declared 10
+    assert got == {("level.levels_audit", "30.5"), ("level.levels_audit.unused", "20")}
