@@ -40,6 +40,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--manifest", help="checkpoint manifest path (enables resume)")
     p.add_argument("--scope", help="override ruleset scope expression")
     p.add_argument("--no-stats", action="store_true")
+    p.add_argument("--validate-doi", dest="validate_doi", action="store_true",
+                   help="resolve the run-manifest DOI over the network "
+                        "(reference --validate_doi; skips with a warning when offline)")
     p.add_argument("--master", default=None)
     p.add_argument("--json", dest="json_out", help="write the run summary JSON here")
     return p.parse_args(argv)
@@ -58,7 +61,14 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         with open(args.run_manifest) as fh:
-            problems = validate_manifest(json.load(fh))
+            run_manifest = json.load(fh)
+        problems = validate_manifest(run_manifest)
+        if args.validate_doi and run_manifest.get("doi"):
+            from safedata_validator_spark.rules.manifest import check_doi_resolves
+
+            doi_problem = check_doi_resolves(run_manifest["doi"])
+            if doi_problem is not None:
+                problems.append(doi_problem)
         for sev, field, msg in problems:
             print(f"manifest {sev}: {field}: {msg}", file=sys.stderr)
         if not manifest_passed(problems):

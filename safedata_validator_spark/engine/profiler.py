@@ -38,6 +38,43 @@ def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, NUMERIC_TYPES)
 
 
+def default_profile_columns(df: DataFrame, ruleset) -> list[str]:
+    """Default stats-profile column selection: every numeric / temporal /
+    boolean column, plus string columns referenced by PLAN-level rules
+    (levels_audit, ref_integrity, sequential/monotone groups, drift, …).
+
+    Free-text string columns referenced only by ROW rules (blank/NA/pattern
+    checks) are excluded: row rules evaluate inside the fused row scan and
+    need no sketches, while an HLL over full text bodies re-reads the
+    heaviest column a second time for a distinct-count nobody consumes — at
+    10^12 turns this is the largest avoidable share of per-turn memory
+    bandwidth (round-1 north-rule finding). Pass explicit columns to
+    ``validate(profile_columns=...)`` to profile text anyway."""
+    from safedata_validator_spark.rules import registry
+
+    typed = {
+        f.name
+        for f in df.schema.fields
+        if _is_numeric(f.dataType)
+        or isinstance(f.dataType, (T.TimestampType, T.DateType, T.BooleanType))
+    }
+    plan_cols: set[str] = set()
+    for r in ruleset.rules:
+        if r.rule_type not in registry.PLAN_EVALUATORS:
+            continue
+        if r.column:
+            plan_cols.add(r.column)
+        for key in ("group", "order"):
+            v = r.params.get(key)
+            if isinstance(v, str):
+                plan_cols.add(v)
+        for k in r.params.get("keys", []) or []:
+            if isinstance(k, str):
+                plan_cols.add(k)
+    keep = typed | plan_cols
+    return [c for c in df.columns if c in keep]
+
+
 def profile_aggs(
     df: DataFrame,
     columns: list[str],

@@ -365,6 +365,7 @@ class ValidationEngine:
         dims: dict[str, DataFrame] | None = None,
         with_stats: bool = True,
         approx_distinct: bool = True,
+        profile_columns: list[str] | None = None,
     ) -> RunResult:
         """Full run with cross-output pass fusion. Fact passes, total:
 
@@ -391,7 +392,11 @@ class ValidationEngine:
         """
         from safedata_validator_spark.engine import extents as ext
         from safedata_validator_spark.engine import referential
-        from safedata_validator_spark.engine.profiler import profile_aggs, profile_long
+        from safedata_validator_spark.engine.profiler import (
+            default_profile_columns,
+            profile_aggs,
+            profile_long,
+        )
 
         dims = dims or {}
         row_rules, plan_rules = self._split_rules(df, ruleset)
@@ -406,7 +411,15 @@ class ValidationEngine:
                 if r.rule_type in ("levels_audit", "ref_integrity") and r.column
             }
         )
-        prof_cols = list(df.columns) if with_stats else []
+        # stats default to plan-rule-referenced + typed columns — free-text
+        # columns with only row rules carry no sketch worth their bandwidth
+        # (see default_profile_columns); pass profile_columns to override
+        if not with_stats:
+            prof_cols = []
+        elif profile_columns is not None:
+            prof_cols = list(profile_columns)
+        else:
+            prof_cols = default_profile_columns(df, ruleset)
 
         seq_orders = sorted(
             {

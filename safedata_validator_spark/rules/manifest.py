@@ -306,6 +306,28 @@ def declared_extent_rules(
     return rules
 
 
+def check_doi_resolves(doi: str, timeout: float = 5.0) -> Problem | None:
+    """Network-bound DOI resolution check (reference summary.py:585-594,
+    gated behind ``--validate_doi`` exactly like the reference CLI flag).
+    Returns None when the DOI resolves; a WARNING problem when the network
+    is unreachable (graceful skip — sandboxes and air-gapped clusters must
+    not fail validation on connectivity); an ERROR problem when the resolver
+    answers and the DOI does not exist."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(str(doi), method="HEAD")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout):
+            return None
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return (ERROR, "doi", f"DOI does not resolve: {doi}")
+        return (WARNING, "doi", f"DOI check inconclusive (HTTP {e.code}): {doi}")
+    except Exception as e:  # URLError, socket timeout, no DNS, …
+        return (WARNING, "doi", f"DOI check skipped (network unavailable: {e}): {doi}")
+
+
 def manifest_passed(problems: list[Problem]) -> bool:
     """Zero ERROR-severity problems — the reference's verdict rule applied
     to the manifest (field.py:324-342)."""

@@ -165,3 +165,14 @@ def test_declared_extent_rules_bridge():
     assert by_col["lat"].params == {"declared_lo": 4.5, "declared_hi": 5.07,
                                     "advisory": False}
     assert declared_extent_rules({}, temporal_column="ts") == []
+
+
+def test_doi_check_skips_gracefully_offline():
+    """Sandbox has no network: the DOI resolution check must degrade to a
+    WARNING skip, never an ERROR or an exception (reference --validate_doi)."""
+    from safedata_validator_spark.rules.manifest import check_doi_resolves
+
+    problem = check_doi_resolves("https://doi.org/10.5281/zenodo.1234", timeout=2)
+    assert problem is not None
+    sev, field, msg = problem
+    assert sev == "WARNING" and field == "doi"
