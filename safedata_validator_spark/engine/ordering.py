@@ -157,17 +157,58 @@ def conv_level_stats(df: DataFrame, group: str, order: str, scope_expr: str) -> 
     )
 
 
+#: Chunk width for the two-phase parallel prefix scan below.
+_PREFIX_CHUNK = 262_144
+
+
 def hash_prefix(spark, max_n: int) -> DataFrame:
     """Expected-hash-sum table: (__mx, __exp1, __exp2) where __exp =
-    Σ_{k=1..__mx} maskedhash(k). Built once per run over spark.range — the
-    running sum is a single-partition window, which SEQ_HASH_CAP bounds."""
-    r = spark.range(1, max_n + 1)
+    Σ_{k=1..__mx} maskedhash(k). Built once per run over spark.range.
+
+    Two-phase parallel scan (the classic distributed prefix sum) instead of
+    one global ``Window.orderBy`` — a global running sum is a SINGLE
+    partition, i.e. up to SEQ_HASH_CAP (16M) rows through one core: measured
+    multi-second serial time that caps low-core→high-core scaling. Phase 1
+    computes per-chunk totals (parallel, tiny output ≤ cap/chunk = 64 rows
+    → driver); phase 2 adds the chunk's base offset to an intra-chunk
+    running sum windowed BY chunk (parallel, bounded partitions)."""
     h1, h2 = _order_hashes("id")
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
-    return r.select(
+    chunk = ((F.col("id") - 1) / _PREFIX_CHUNK).cast("long")
+    if max_n <= _PREFIX_CHUNK:
+        r = spark.range(1, max_n + 1)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        return r.select(
+            F.col("id").alias("__mx"),
+            F.sum(h1).over(w).alias("__exp1"),
+            F.sum(h2).over(w).alias("__exp2"),
+        )
+    r = spark.range(1, max_n + 1, 1, spark.sparkContext.defaultParallelism)
+    totals = (
+        r.groupBy(chunk.alias("__chunk"))
+        .agg(F.sum(h1).alias("__t1"), F.sum(h2).alias("__t2"))
+        .orderBy("__chunk")
+        .collect()
+    )
+    base1 = base2 = 0
+    offsets = []
+    for row in totals:
+        offsets.append((row["__chunk"], base1, base2))
+        base1 += row["__t1"]
+        base2 += row["__t2"]
+    off = spark.createDataFrame(offsets, "__chunk long, __b1 long, __b2 long")
+    w = Window.partitionBy("__chunk").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    intra = r.withColumn("__chunk", chunk).select(
         F.col("id").alias("__mx"),
-        F.sum(h1).over(w).alias("__exp1"),
-        F.sum(h2).over(w).alias("__exp2"),
+        "__chunk",
+        F.sum(h1).over(w).alias("__s1"),
+        F.sum(h2).over(w).alias("__s2"),
+    )
+    return intra.join(F.broadcast(off), "__chunk").select(
+        "__mx",
+        (F.col("__s1") + F.col("__b1")).alias("__exp1"),
+        (F.col("__s2") + F.col("__b2")).alias("__exp2"),
     )
 
 

@@ -655,6 +655,87 @@ FROM closure GROUP BY depth
 """
 
 # --------------------------------------------------------------------------
+# 18a. Hierarchy congruence (J8-J10; reference taxa.py:1440-1453): facts
+#      claim (child, ancestor) name pairs checked against the closure of the
+#      TPC-H geography tree; the oracle rebuilds the closure recursively.
+# --------------------------------------------------------------------------
+
+def q_hierarchy_congruence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine path: eval_hierarchy_congruence violations. Customers claim
+    ("N"+nationkey, "R"+(custkey%7)): residues 5-6 are unknown ancestors,
+    residues 0-4 are real regions but only sometimes the right one."""
+    from safedata_validator_spark.engine.hierarchy import (
+        build_closure,
+        eval_hierarchy_congruence,
+    )
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("node_id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("name"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).cast("long").alias("node_id"),
+        F.col("n_regionkey").cast("long").alias("parent_id"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("name"),
+    )
+    nodes = r.unionByName(n)
+    closure = build_closure(nodes.select("node_id", "parent_id"))
+
+    cust = _t(spark, sf_dir, "customer")
+    claims = cust.select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("child"),
+        F.concat(F.lit("R"), (F.col("c_custkey") % 7).cast("string")).alias("anc"),
+    )
+    rule = Rule("geo.hierarchy", "hierarchy_congruence", severity="ERROR",
+                params={"nodes_dim": "nodes", "closure_dim": "closure",
+                        "child_col": "child", "ancestor_col": "anc"})
+    rs = RuleSet(name="hc", key_cols=["child"], scope="'all'", rules=[rule])
+    out = eval_hierarchy_congruence(
+        claims, rule, rs, {"nodes": nodes, "closure": closure}
+    )
+    return out.orderBy("entity")
+
+
+SQL_HIERARCHY_CONGRUENCE_EVENTS = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS node_id, CAST(NULL AS BIGINT) AS parent_id,
+         'R' || r_regionkey AS name
+  FROM region
+  UNION ALL
+  SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS BIGINT),
+         'N' || n_nationkey
+  FROM nation
+), closure AS (
+  SELECT node_id, node_id AS ancestor_id FROM nodes
+  UNION ALL
+  SELECT c.node_id, n.parent_id
+  FROM closure c JOIN nodes n ON c.ancestor_id = n.node_id
+  WHERE n.parent_id IS NOT NULL
+), claims AS (
+  SELECT 'N' || c_nationkey AS child, 'R' || (c_custkey % 7) AS anc, count(*) AS n
+  FROM customer GROUP BY 1, 2
+), resolved AS (
+  SELECT cl.child, cl.anc, cl.n, cn.node_id AS cid, an.node_id AS aid,
+         (SELECT 1 FROM closure x WHERE x.node_id = cn.node_id
+            AND x.ancestor_id = an.node_id) AS ok
+  FROM claims cl
+  LEFT JOIN nodes cn ON cn.name = cl.child
+  LEFT JOIN nodes an ON an.name = cl.anc
+)
+SELECT 'geo.hierarchy' AS rule_id, 'ERROR' AS severity, 'all' AS scope,
+       'child=' || child || '/anc=' || anc AS entity,
+       'child' AS "column", anc AS value,
+       CASE WHEN cid IS NULL THEN 'unknown node: ' || child
+            WHEN aid IS NULL THEN 'unknown ancestor: ' || anc
+            ELSE anc || ' is not an ancestor of ' || child || ' (' || n || ' rows)'
+       END AS message
+FROM resolved WHERE ok IS NULL
+ORDER BY entity
+"""
+
+# --------------------------------------------------------------------------
 # 18b. Taxon-style name resolution (J6; reference taxa.py:356-412 status
 #      disambiguation + the validate_and_add_taxon decision table): events
 #      claim synthetic (name, rank) pairs against a nations-derived dimension
@@ -1197,6 +1278,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "hierarchy_closure": q_hierarchy_closure,
     "name_resolution_events": q_name_resolution_events,
+    "hierarchy_congruence_events": q_hierarchy_congruence_events,
     "sessionize_events": q_sessionize_events,
     "media_features": q_media_features,
     "quality_docs": q_quality_docs,
@@ -1235,6 +1317,7 @@ ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
     "name_resolution_events": SQL_NAME_RESOLUTION_EVENTS,
+    "hierarchy_congruence_events": SQL_HIERARCHY_CONGRUENCE_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "media_features": SQL_MEDIA_FEATURES,
