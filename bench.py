@@ -69,8 +69,10 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     gen_tag = hashlib.sha256(
         inspect.getsource(transcripts_scaled).encode()
     ).hexdigest()[:8]
+    # _p64: 64 evenly-sized files — the generator's own 4-file layout capped
+    # the scan at ~8 skewed splits (a production table has many even files)
     src = os.environ.get(
-        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}"
+        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_p64"
     )
     # 'read succeeds' is not enough cache validation: a partially written
     # directory from a crashed prior run reads fine with missing rows —
@@ -83,7 +85,7 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     except Exception:
         pass
     if df is None:
-        transcripts_scaled(spark, n_turns).write.mode("overwrite").parquet(src)
+        transcripts_scaled(spark, n_turns).repartition(64).write.mode("overwrite").parquet(src)
         df = spark.read.parquet(src)
     engine = ValidationEngine()
     rs = transcript_ruleset()

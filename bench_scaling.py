@@ -68,11 +68,15 @@ spark = build_session(app_name=f"sdv-scale-{cores}", master=f"local[{cores}]",
 # scan path (columnar IO + per-pass column pruning), not the generator.
 import hashlib, inspect
 gen_tag = hashlib.sha256(inspect.getsource(transcripts_scaled).encode()).hexdigest()[:8]
-src = f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}"
+# _p64: 64 evenly-sized files — the 4-file layout the generator's own
+# partitioning produced capped the scan at ~8 skewed splits, starving
+# every level above local[8] (a production Iceberg table has many
+# even files; the benchmark input should too)
+src = f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_p64"
 try:
     df = spark.read.parquet(src)
 except Exception:
-    transcripts_scaled(spark, n_turns).write.mode("overwrite").parquet(src)
+    transcripts_scaled(spark, n_turns).repartition(64).write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
 engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
 t0 = time.perf_counter()
@@ -248,32 +252,22 @@ the same rule a real deployment uses. A real 4N-executor cluster
 multiplies memory controllers and shuffle disks with node count — exactly
 the resource this single-JVM sandbox cannot scale past one socket.
 
-## Measurement history across host windows (round 1)
-
-The shared microVM host drifts up to 2.4× between time windows, so single
-numbers under-determine the picture. Observed across round-1 windows at 40M
-turns with the pre-fusion engine: local[8] 179–282 s, local[32] 68–164 s,
-8→32 efficiency 0.37–0.76 (the memory-streaming ceiling itself ranged
-0.35–1.2 across the same windows). The optimization sequence then moved
-absolute throughput far more than any core-count change could: six-pass
-fusion (local[32] 40M: ~135→104 s), blocked-window adjacency (−20 s),
-conversation-level hash-sum sequence screen (−10 s), materialized parquet
-input (96→71 s) — net ≈330k→560k turns/sec at local[32] in comparable
-windows. Lighter per-turn work pushes the job closer to the bandwidth
-ceiling, which is why the 8→32 ratio falls as throughput rises; the 2→8
-pair shows the unsaturated scaling a real cluster would see. Efficiency
-numbers should always be read against the same-instant ceilings above.
-
-Data-size linearity (same engine, local[32], single runs): 40M turns in
-~52-71 s and 100M turns in ~138 s — ~725-774k turns/sec at BOTH sizes,
-i.e. per-turn cost is flat across a 2.5× scale-up with the hot
-conversation growing to 5M turns (blocked windows keep every task
-bounded). Wall time is linear in input; parallelism is the only axis this
-sandbox cannot extend.
 """
     os.makedirs("BENCH", exist_ok=True)
+    # regeneration must not erase the accumulated cross-window measurement
+    # history — everything from the first history heading onward is carried
+    # over from the existing report
+    marker = "## Measurement history"
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            old = fh.read()
+        history = old[old.index(marker):] if marker in old else ""
+    except FileNotFoundError:
+        history = ""
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(md)
+        if history:
+            fh.write("\n" + history)
 
 
 if __name__ == "__main__":
