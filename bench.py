@@ -69,10 +69,12 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     gen_tag = hashlib.sha256(
         inspect.getsource(transcripts_scaled).encode()
     ).hexdigest()[:8]
-    # _p64: 64 evenly-sized files — the generator's own 4-file layout capped
-    # the scan at ~8 skewed splits (a production table has many even files)
+    # _c64: 64 files hash-partitioned by conv_id, conversations sorted
+    # contiguously within each — the representative production layout (many
+    # even files AND write-clustering, so RLE compression works); the
+    # generator's own 4-file layout capped the scan at ~8 skewed splits
     src = os.environ.get(
-        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_p64"
+        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_c64"
     )
     # 'read succeeds' is not enough cache validation: a partially written
     # directory from a crashed prior run reads fine with missing rows —
@@ -85,7 +87,7 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     except Exception:
         pass
     if df is None:
-        transcripts_scaled(spark, n_turns).repartition(64).write.mode("overwrite").parquet(src)
+        transcripts_scaled(spark, n_turns).repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(src)
         df = spark.read.parquet(src)
     engine = ValidationEngine()
     rs = transcript_ruleset()

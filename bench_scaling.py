@@ -68,15 +68,17 @@ spark = build_session(app_name=f"sdv-scale-{cores}", master=f"local[{cores}]",
 # scan path (columnar IO + per-pass column pruning), not the generator.
 import hashlib, inspect
 gen_tag = hashlib.sha256(inspect.getsource(transcripts_scaled).encode()).hexdigest()[:8]
-# _p64: 64 evenly-sized files — the 4-file layout the generator's own
-# partitioning produced capped the scan at ~8 skewed splits, starving
-# every level above local[8] (a production Iceberg table has many
-# even files; the benchmark input should too)
-src = f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_p64"
+# _c64: 64 files hash-partitioned by conv_id with conversations sorted
+# contiguously within each — the representative production layout (many
+# even files AND write-clustering so RLE compression works). The
+# generator's 4-file layout capped the scan at ~8 skewed splits, starving
+# every level above local[8]; plain round-robin repartitioning scattered
+# conversations and doubled the table's bytes (destroyed clustering).
+src = f"/tmp/sdv_bench_transcripts_{n_turns}_{gen_tag}_c64"
 try:
     df = spark.read.parquet(src)
 except Exception:
-    transcripts_scaled(spark, n_turns).repartition(64).write.mode("overwrite").parquet(src)
+    transcripts_scaled(spark, n_turns).repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
 engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
 t0 = time.perf_counter()
