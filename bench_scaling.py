@@ -81,6 +81,14 @@ except Exception:
     transcripts_scaled(spark, n_turns).repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
 engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
+# warm whole-stage codegen on a tiny slice (generated classes are source-
+# keyed, so the timed run reuses them): compile time is a fixed JVM cost,
+# identical at every core count — charging it to the timed run biases the
+# ratio against higher parallelism for a cost no long-running job sees
+warm = engine.validate(df.limit(50_000), rs, d, with_stats=True)
+for frame in (warm.violations, warm.verdicts, warm.stats):
+    frame.write.mode("overwrite").format("noop").save()
+warm.unpersist()
 t0 = time.perf_counter()
 res = engine.validate(df, rs, d, with_stats=True)
 res.violations.persist()

@@ -73,6 +73,12 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    # the shingle extraction feeds several consumers (sizes + both join
+    # sides, plus the frequency cut); persist it once instead of re-running
+    # the normalize/split/slice chain per consumer (~25% of the pipeline at
+    # sf0.1 — and the shingle table is bounded by total tokens, the standard
+    # materialized intermediate of corpus-dedup pipelines)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -182,6 +188,7 @@ def minhash_lsh_dedup(
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sh = sh.persist()  # consumed by signatures, sizes and both verify hops
     sig = signatures_from_shingles(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
