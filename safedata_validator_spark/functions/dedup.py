@@ -69,16 +69,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥
     threshold → (id_a, id_b, n_common, n_a, n_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle extraction feeds several consumers (the frequency cut,
+    # sizes, and both self-join sides); persist the RAW extraction once —
+    # the normalize/split/slice chain is the expensive part — and let the
+    # (broadcast, tiny-hot-list) frequency cut re-derive from cache
+    sh = word_shingles(df, id_col, text_col, n).persist()
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    # the shingle extraction feeds several consumers (sizes + both join
-    # sides, plus the frequency cut); persist it once instead of re-running
-    # the normalize/split/slice chain per consumer (~25% of the pipeline at
-    # sf0.1 — and the shingle table is bounded by total tokens, the standard
-    # materialized intermediate of corpus-dedup pipelines)
-    sh = sh.persist()
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,11 +182,12 @@ def minhash_lsh_dedup(
     boilerplate shingles before signing AND verifying (the same frequency cut
     as ``ngram_jaccard_pairs`` — a stopword-run shingle on a real corpus
     otherwise dominates every signature)."""
-    sh = word_shingles(df, id_col, text_col, n)
+    # raw extraction persisted once; the cut's hot list broadcasts (see
+    # ngram_jaccard_pairs) — consumers: signatures, sizes, both verify hops
+    sh = word_shingles(df, id_col, text_col, n).persist()
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
-    sh = sh.persist()  # consumed by signatures, sizes and both verify hops
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sig = signatures_from_shingles(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
