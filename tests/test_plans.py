@@ -212,3 +212,14 @@ def test_scale_parameterized_ann_defaults():
     assert nbits_for(1) == 4            # floor
     assert n_centroids_for(500) == 22   # ≈ √N
     assert n_centroids_for(1_000_000) == 1000
+
+
+def test_taxon_query_dims_broadcast(spark):
+    """name_resolution / hierarchy_congruence: every dimension join must
+    broadcast — the fact side (claims) never shuffles for a dim lookup."""
+    from safedata_validator_spark.queries import QUERIES
+
+    for q in ("name_resolution_events", "hierarchy_congruence_events"):
+        plan = _physical(QUERIES[q](spark, SF))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
