@@ -119,10 +119,17 @@ def run(spark, sf_dir: str, sf: float) -> dict:
         spark.catalog.clearCache()
     timings["transcript_validate"] = round(dt, 3)
 
+    from safedata_validator_spark.functions.dedup import release
+
     for name in HEADLINE:
         t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
+        q = QUERIES[name](spark, sf_dir)
+        materialize(q)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup/curation pipelines hand their persisted shingle tables back
+        # for caller-controlled release — free them so repeated runs in this
+        # long-lived session don't accumulate cached blocks
+        release(q)
 
     return {"timings": timings, "n_turns": n_turns, "validate_sec": dt}
 

@@ -68,6 +68,30 @@ def canon_dim_key(dim: DataFrame, key: str) -> DataFrame:
     return dim.select(_canon_col(dim, key).alias("__val")).distinct()
 
 
+def canon_dim_key_membership(dim: DataFrame, key: str) -> DataFrame:
+    """Dim keys for the MEMBERSHIP anti-join: the canonical rendering PLUS,
+    for string-typed keys, a numeric canonicalization of numeric-looking
+    values ('1.0' → '1', '1.50' → '1.5'). Spark's native join coercion casts
+    both sides to double when a numeric fact meets a string dim — a DOUBLE
+    fact 1.0 must match a STRING dim key '1.0', which the plain string
+    rendering misses (ADVICE r02). Extra renderings only ever widen the
+    accepted set, so this stays out of the levels-audit path (where a
+    never-used extra rendering would be a false 'declared level never used'
+    warning)."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    raw = canon_dim_key(dim, key)
+    if not isinstance(dim.schema[key].dataType, StringType):
+        return raw
+    as_num = canon_str(F.col(key).try_cast("double"), DoubleType())
+    numeric = (
+        dim.select(as_num.alias("__val"))
+        .where(F.col("__val").isNotNull())
+        .distinct()
+    )
+    return raw.unionByName(numeric).distinct()
+
+
 def categorical_counts(df: DataFrame, scope_expr: str, columns: list[str]) -> DataFrame:
     """ONE scan serving every categorical rule: stack the audited columns into
     (column-name, value) rows and count per scope. Output volume is bounded by
@@ -126,7 +150,7 @@ def ref_integrity_from_counts(counts: DataFrame, rule: Rule, dims: dict) -> Data
 
     counted = counts.where(F.col("__val").isNotNull()) if ignore_null else counts
     unknown = counted.join(
-        F.broadcast(canon_dim_key(dim, dim_key)),
+        F.broadcast(canon_dim_key_membership(dim, dim_key)),
         on="__val",
         how="left_anti",
     )

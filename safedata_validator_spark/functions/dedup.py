@@ -59,6 +59,27 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def _hand_off_cache(out: DataFrame, cached: tuple[DataFrame, ...]) -> DataFrame:
+    """Attach the pipeline's persisted intermediates to the result so the
+    CALLER controls their release (mirroring ``RunResult.unpersist``,
+    engine/validator.py): in a long-lived session, an eagerly-leaked cache
+    accumulates across calls (the round-2 bench tail's ``CacheManager:
+    Asked to cache already cached data`` warnings). ``release(df)`` after
+    the result is materialized frees them."""
+    existing = getattr(out, "_sdv_cached", ())
+    out._sdv_cached = tuple(existing) + tuple(cached)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every intermediate a dedup/curation pipeline persisted on
+    behalf of ``df`` (no-op for frames without a cache hand-off)."""
+    for c in getattr(df, "_sdv_cached", ()):
+        c.unpersist()
+    if hasattr(df, "_sdv_cached"):
+        df._sdv_cached = ()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -73,7 +94,8 @@ def ngram_jaccard_pairs(
     # sizes, and both self-join sides); persist the RAW extraction once —
     # the normalize/split/slice chain is the expensive part — and let the
     # (broadcast, tiny-hot-list) frequency cut re-derive from cache
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh_raw = word_shingles(df, id_col, text_col, n).persist()
+    sh = sh_raw
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -93,9 +115,10 @@ def ngram_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
     )
-    return j.where(F.col("jaccard") >= threshold).select(
+    out = j.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
     )
+    return _hand_off_cache(out, (sh_raw,))
 
 
 def signatures_from_shingles(sh: DataFrame, num_perm: int = 64) -> DataFrame:
@@ -184,7 +207,8 @@ def minhash_lsh_dedup(
     otherwise dominates every signature)."""
     # raw extraction persisted once; the cut's hot list broadcasts (see
     # ngram_jaccard_pairs) — consumers: signatures, sizes, both verify hops
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh_raw = word_shingles(df, id_col, text_col, n).persist()
+    sh = sh_raw
     if max_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -204,7 +228,8 @@ def minhash_lsh_dedup(
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
     )
-    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    out = j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    return _hand_off_cache(out, (sh_raw,))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

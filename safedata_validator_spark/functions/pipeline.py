@@ -70,6 +70,9 @@ def curate_documents(
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
         tx.ws_token_count(F.col("text")).alias("ws_tokens"),
     )
-    return enriched.where(
+    out = enriched.where(
         F.col("lang").isin(list(langs)) & (F.col("quality") >= min_quality)
     )
+    # the pair-finding stage persisted its shingle extraction; hand the
+    # cache up so the caller can dd.release(out) after materializing
+    return dd._hand_off_cache(out, getattr(pairs, "_sdv_cached", ()))

@@ -140,7 +140,10 @@ def build_binomial(higher: Column, lower: Column, tri: bool = False) -> Column:
     joined = F.concat(h, F.lit(" "), low)
     return (
         F.when((n_l == 1) & (n_h == n - 1), joined)
-        .when(l_cand, F.concat(h, F.lit(" "), l_rest))
+        # lower == bare 'Candidatus' (n_l == 1) leaves an empty remainder;
+        # trim() so the result is the bare higher name, not 'higher ' —
+        # matching the reference's output (ADVICE r02)
+        .when(l_cand, F.trim(F.concat(h, F.lit(" "), l_rest)))
         .when(h_cand, joined)
         .when(F.lit(tri) & (n_h == 1), F.lit(None).cast("string"))  # species too short
         .when(

@@ -256,6 +256,16 @@ def check_declared_tables(
     return problems
 
 
+_DATE_ONLY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _inclusive_end(end: str) -> str:
+    """Date-only declared ends are inclusive of the whole day (reference
+    semantics: temporal extents are dates). '2024-12-31' → '2024-12-31
+    23:59:59.999999'; anything carrying a time component passes through."""
+    return f"{end} 23:59:59.999999" if _DATE_ONLY.match(end) else end
+
+
 def declared_extent_rules(
     manifest: dict[str, Any],
     temporal_column: str | None = None,
@@ -273,6 +283,7 @@ def declared_extent_rules(
     rules = []
     te = manifest.get("temporal_extent")
     if te is not None and temporal_column:
+        start, end = te.get("start"), te.get("end")
         rules.append(
             Rule(
                 f"{temporal_column}.extent_congruence",
@@ -280,8 +291,15 @@ def declared_extent_rules(
                 column=temporal_column,
                 severity=SEV_ERROR,
                 params={
-                    "declared_lo": str(te.get("start")),
-                    "declared_hi": str(te.get("end")),
+                    "declared_lo": None if start is None else str(start),
+                    # a date-only declared end ('2024-12-31') compared
+                    # against a timestamp column would coerce to midnight and
+                    # falsely flag data later on the declared end day — the
+                    # reference's comparison is date-granular inclusive
+                    # (summary.py temporal extents carry dates, not times),
+                    # so extend a date-only end to the last instant of that
+                    # day before it meets the timestamp min/max
+                    "declared_hi": None if end is None else _inclusive_end(str(end)),
                     "advisory": advisory,
                 },
             )

@@ -100,11 +100,16 @@ def stateful_sequence_violations(
             return
         batch = batch.sort_values(order, kind="mergesort", ignore_index=True)
         idx = batch[order].astype("int64")
-        # null ts stays unknown (NaN) — a filled sentinel (epoch 0) would
-        # flag a spurious regression on the next real timestamp
+        # null ts stays unknown (pd.NA) — a filled sentinel (epoch 0) would
+        # flag a spurious regression on the next real timestamp. Nullable
+        # Int64 (not float64+NaN: float64 ulp at ~1.7e18 ns is ~256 ns, so a
+        # sub-microsecond regression could round to equality and be missed)
+        # keeps the comparison exact-integer with null support.
         ts_parsed = pd.to_datetime(batch[ts_col])
-        ts_us = pd.Series(ts_parsed.values.astype("int64"), index=batch.index, dtype="float64")
-        ts_us[ts_parsed.isna()] = float("nan")
+        ts_us = pd.Series(
+            ts_parsed.values.astype("int64"), index=batch.index, dtype="Int64"
+        )
+        ts_us[ts_parsed.isna()] = pd.NA
         role = batch[role_col].astype("string")
 
         if state.exists:
@@ -122,7 +127,7 @@ def stateful_sequence_violations(
             # carried values may be None (the conversation's last seen
             # role/ts was null) — they stay NaN/NA and the corresponding
             # edge/regression checks below skip the unknown side
-            prev_ts.iloc[0] = float("nan") if last_ts_us is None else last_ts_us
+            prev_ts.iloc[0] = pd.NA if last_ts_us is None else last_ts_us
             prev_role.iloc[0] = last_role if last_role is not None else pd.NA
 
         out = []
@@ -143,7 +148,14 @@ def stateful_sequence_violations(
                     }
                 )
             )
-        regress = prev_ts.notna() & ts_us.notna() & (ts_us < prev_ts)
+        # Int64 comparison yields Kleene 'boolean' (NA where either side is
+        # NA); the notna guards zero those out — collapse to plain bool for
+        # the positional mask
+        regress = (
+            (prev_ts.notna() & ts_us.notna() & (ts_us < prev_ts))
+            .fillna(False)
+            .astype(bool)
+        )
         if regress.any():
             r = batch[regress]
             out.append(

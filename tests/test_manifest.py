@@ -165,6 +165,40 @@ def test_declared_extent_rules_bridge():
     assert by_col["lat"].params == {"declared_lo": 4.5, "declared_hi": 5.07,
                                     "advisory": False}
     assert declared_extent_rules({}, temporal_column="ts") == []
+    # a DATE-ONLY declared end is inclusive of the whole end day — compared
+    # raw against a timestamp column it would coerce to midnight and flag
+    # data later that day (ADVICE r02, medium)
+    assert by_col["ts"].params["declared_hi"] == "2024-12-31 23:59:59.999999"
+    # an end carrying a time component passes through untouched
+    m2 = dict(GOOD, temporal_extent={"start": "2024-01-01",
+                                     "end": "2024-12-31 18:00:00"})
+    (r2,) = declared_extent_rules(m2, temporal_column="ts")
+    assert r2.params["declared_hi"] == "2024-12-31 18:00:00"
+
+
+def test_declared_end_day_fully_inclusive(spark):
+    """Data at 15:00 on the declared end day is INSIDE the extent (the
+    reference's date-granular inclusive comparison); data the day after is
+    outside."""
+    from datetime import datetime
+
+    from safedata_validator_spark.engine.extents import eval_extent_congruence
+    from safedata_validator_spark.rules.manifest import declared_extent_rules
+    from safedata_validator_spark.rules.model import RuleSet
+
+    m = dict(GOOD, temporal_extent={"start": "2024-01-01", "end": "2024-12-31"})
+    (rule,) = declared_extent_rules(m, temporal_column="ts")
+    rs = RuleSet(name="t", key_cols=["id"], scope="'all'", rules=[rule])
+
+    inside = spark.createDataFrame(
+        [(1, datetime(2024, 12, 31, 15, 0, 0))], "id int, ts timestamp"
+    )
+    assert eval_extent_congruence(inside, rule, rs, {}).count() == 0
+
+    outside = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1, 0, 0, 1))], "id int, ts timestamp"
+    )
+    assert eval_extent_congruence(outside, rule, rs, {}).count() == 1
 
 
 def test_doi_check_skips_gracefully_offline():

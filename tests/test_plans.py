@@ -203,6 +203,54 @@ def test_ann_plan_building_triggers_no_jobs(spark):
     assert after == before, "building ANN plans must not run Spark jobs"
 
 
+#: catalog entries that are EAGER by design — each runs bounded driver-side
+#: actions while building its result (documented here so any new entry that
+#: sneaks a hidden probe job in fails the test below, while these stay
+#: exempt with a stated reason):
+#:   transcript_verdicts — ValidationEngine.validate() materializes the tiny
+#:     per-scope aggregate eagerly (two overlapped driver aggregates,
+#:     validator.py) to derive stats/verdicts without a second fact pass;
+#:   hierarchy_closure / hierarchy_congruence_events — build_closure's
+#:     loop-until-fixpoint needs an emptiness check per doubling round
+#:     (bounded by log2(max depth) jobs over the DIMENSION, not the fact);
+#:   ivf_ann_topk — k-means training for the coarse quantizer is iterative
+#:     by nature (bounded, runs on the sampled training slice);
+#:   stream_sequence_events — runs an actual two-micro-batch streaming query
+#:     and returns the materialized emissions (the POINT of the gate).
+EAGER_BY_DESIGN = {
+    "transcript_verdicts",
+    "hierarchy_closure",
+    "hierarchy_congruence_events",
+    "ivf_ann_topk",
+    "stream_sequence_events",
+}
+
+
+def test_catalog_plan_building_triggers_no_jobs(spark):
+    """EVERY catalog query must build its DataFrame without executing Spark
+    jobs (no hidden first()/count() probes) unless listed in
+    EAGER_BY_DESIGN with a reason. Round-2's q_embedding_near_dup escaped
+    the ANN-specific test by omitting dim= — iterating the real callables
+    closes that hole (VERDICT r02 §next 2)."""
+    from safedata_validator_spark.queries import QUERIES
+
+    lazy = {n: f for n, f in QUERIES.items() if n not in EAGER_BY_DESIGN}
+    # warm pass: Spark 4 charges one footer-read job to the FIRST schema-less
+    # read of each parquet table; queries._t caches the schema per table, so
+    # after this pass every build must be job-free
+    for fn in lazy.values():
+        fn(spark, SF)
+    tracker = spark.sparkContext.statusTracker()
+    offenders = []
+    for name, fn in lazy.items():
+        before = len(tracker.getJobIdsForGroup(None))
+        fn(spark, SF)
+        after = len(tracker.getJobIdsForGroup(None))
+        if after != before:
+            offenders.append((name, after - before))
+    assert not offenders, f"plan build ran jobs: {offenders}"
+
+
 def test_scale_parameterized_ann_defaults():
     """nbits/n_centroids derivations follow the documented scaling rules."""
     from safedata_validator_spark.functions.similarity import n_centroids_for, nbits_for

@@ -241,6 +241,50 @@ def test_membership_coerces_mixed_numeric_types(spark):
     assert [v["value"] for v in viols] == ["2.5"]
 
 
+def test_membership_coerces_string_dim_keys(spark):
+    """A STRING dim key holding a float rendering ('1.0') must accept a
+    DOUBLE fact value 1.0 — Spark's native join coercion casts both sides to
+    double and matches (ADVICE r02). Non-numeric and exact string keys keep
+    plain string semantics."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.5), ("c", 3, 9.0)],
+        "conv_id string, turn_idx int, code double",
+    )
+    dims = {"codes": spark.createDataFrame([("1.0",), ("2.50",), ("x",)],
+                                           "code string")}
+    rs = RuleSet(
+        name="coerce3", key_cols=["conv_id", "turn_idx"], scope="'all'",
+        rules=[Rule("code.ref_integrity", "ref_integrity", column="code",
+                    params={"dim": "codes", "dim_key": "code"})],
+    )
+    viols = ValidationEngine().validate(df, rs, dims, with_stats=False).violations.collect()
+    # 1.0 matches '1.0' (integral), 2.5 matches '2.50' (non-integral
+    # numeric), 9.0 matches nothing
+    assert [v["value"] for v in viols] == ["9"]
+
+
+def test_membership_string_facts_stay_exact(spark):
+    """String fact vs string dim keeps exact string comparison: the numeric
+    renderings only WIDEN the accepted set, never reject an exact match."""
+    from safedata_validator_spark.engine.validator import ValidationEngine
+    from safedata_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [("a", 1, "001"), ("b", 2, "nope")], "conv_id string, turn_idx int, code string"
+    )
+    dims = {"codes": spark.createDataFrame([("001",)], "code string")}
+    rs = RuleSet(
+        name="coerce4", key_cols=["conv_id", "turn_idx"], scope="'all'",
+        rules=[Rule("code.ref_integrity", "ref_integrity", column="code",
+                    params={"dim": "codes", "dim_key": "code"})],
+    )
+    viols = ValidationEngine().validate(df, rs, dims, with_stats=False).violations.collect()
+    assert [v["value"] for v in viols] == ["nope"]
+
+
 def test_levels_audit_coerces_mixed_numeric_types(spark):
     from safedata_validator_spark.engine.validator import ValidationEngine
     from safedata_validator_spark.rules.model import Rule, RuleSet
