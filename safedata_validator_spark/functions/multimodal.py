@@ -46,18 +46,29 @@ FEATURES_DDL = (
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image codec library not present in this
-    container. ``fake=True`` produces a deterministic 8x8x3 surrogate derived
-    from the payload digest, so downstream feature plumbing is exercisable.
+    Real path: PIL (pillow) when importable — any format PIL reads, coerced
+    to RGB. This container lacks pillow, so without ``fake=True`` the call
+    raises NotImplementedError (environment-gated, like geo.full_validity);
+    the PIL branch is exercised by tests/test_env_gated.py the moment the
+    library is present. ``fake=True`` produces a deterministic 8x8x3
+    surrogate derived from the payload digest, so downstream feature
+    plumbing is exercisable everywhere.
     """
-    if not fake:
+    if fake:
+        digest = hashlib.sha256(payload or b"").digest()
+        rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
+        return rng.reshape(8, 8, 3)
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "for the deterministic surrogate, or plug a PIL-based decoder here"
-        )
-    digest = hashlib.sha256(payload or b"").digest()
-    rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
-    return rng.reshape(8, 8, 3)
+            "image codec (pillow) not available in this environment; pass "
+            "fake=True for the deterministic surrogate"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:

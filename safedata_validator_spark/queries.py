@@ -1225,6 +1225,70 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 26b. ANN recall@k robustness gate: LSH and IVF top-k measured against the
+#      exact brute-force top-k (itself SQL-oracled in embedding_topk) with a
+#      pinned recall floor. Unlike the pinned VALUES oracles, this gate
+#      SURVIVES an nbits/nprobe/n_centroids default change — recall is
+#      recomputed live; only the floor is pinned (VERDICT r02 §next 3).
+# --------------------------------------------------------------------------
+
+#: gate-pinned index parameters and avg-recall floors. The embeddings test
+#: table is near-random (little cluster structure), so recall is governed by
+#: the probed fraction of the corpus; the parameters below measure avg
+#: recall 0.82 (lsh) / 0.92 (ivf) at sf0.01 — floors leave ≥0.2 honest
+#: margin while a broken index (empty/arbitrary candidates) scores ≈ k/N
+#: = 0.01 and a lost probe ring scores < 0.5.
+ANN_RECALL_GATES = {
+    "lsh": ({"nbits": 4, "probe_hamming": 2, "dim": EMB_DIM}, 0.6),
+    "ivf": ({"n_centroids": 8, "nprobe": 6}, 0.7),
+}
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(e, queries, k=TOPK_K).select("query_id", "vec_id")
+    parts = []
+    for method in sorted(ANN_RECALL_GATES):
+        params, floor = ANN_RECALL_GATES[method]
+        fn = sim.lsh_topk if method == "lsh" else sim.ivf_topk
+        approx = fn(e, queries, k=TOPK_K, **params)
+        hits = (
+            approx.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        # left join from ALL queries: a query the index found nothing for
+        # must count as recall 0, not silently drop out of the average
+        per = queries.select("query_id").join(hits, "query_id", "left").select(
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(TOPK_K)).alias("recall")
+        )
+        parts.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                (F.avg("recall") >= floor).alias("recall_ok"),
+            ).select(F.lit(method).alias("method"), "n_queries", "recall_ok")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+SQL_ANN_RECALL = f"""
+SELECT method, n_queries, true AS recall_ok FROM (
+  SELECT 'ivf' AS method, count(*) AS n_queries
+  FROM embeddings WHERE vec_id % {TOPK_QUERY_MOD} = 0
+  UNION ALL
+  SELECT 'lsh', count(*) FROM embeddings WHERE vec_id % {TOPK_QUERY_MOD} = 0
+) ORDER BY method
+"""
+
+
+# --------------------------------------------------------------------------
 # 27. Stateful streaming sequence gate (§2.9): the applyInPandasWithState
 #     cross-batch checker run on two REAL micro-batches, gated against the
 #     batch-SQL computation of the same semantics — streaming answers must
@@ -1459,6 +1523,8 @@ QUERIES = {
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
     "stream_sequence_events": q_stream_sequence_events,
+    # live recall vs the exact top-k; only the floor is pinned
+    "ann_recall": q_ann_recall,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "simhash_docs": q_simhash_docs,
@@ -1494,6 +1560,7 @@ ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "stream_sequence_events": SQL_STREAM_SEQUENCE_EVENTS,
+    "ann_recall": SQL_ANN_RECALL,
     "media_features": SQL_MEDIA_FEATURES,
     "quality_docs": SQL_QUALITY_DOCS,
     "minhash_lsh_docs": SQL_MINHASH_LSH_DOCS,

@@ -1,0 +1,199 @@
+"""Environment-gated batteries: skipped-not-absent tests for the three
+honest environment boundaries (VERDICT r02 §next 5-7). Each stub's real
+branch gains an executable gate the moment its library/jar is present in
+the environment; in this container the batteries skip and the
+stub-raises contracts run instead."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import struct
+import sys
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+HAVE_SHAPELY = importlib.util.find_spec("shapely") is not None
+HAVE_PIL = importlib.util.find_spec("PIL") is not None
+
+
+# --------------------------------------------------------------------------
+# 1. OGC geometry validity (functions/geo.py full_validity; reference
+#    locations.py:353-364 `.is_valid` / `.has_z`)
+# --------------------------------------------------------------------------
+
+#: (wkt, expected ogc_valid) — the reference's invalid-geometry classes:
+#: self-intersection (bowtie), nested-hole overlap, Z geometry rejected
+#: (has_z), unparseable text, NULL passthrough.
+OGC_CASES = [
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", True),
+    ("POINT (1 2)", True),
+    ("LINESTRING (0 0, 1 1, 2 0)", True),
+    # bowtie: edges cross — parses fine, OGC-invalid (the one check the
+    # JVM-side syntax/bounds battery cannot express)
+    ("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))", False),
+    # hole outside the shell
+    ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (5 5, 6 5, 6 6, 5 6, 5 5))", False),
+    # Z geometry: reference rejects has_z outright
+    ("POINT Z (1 2 3)", False),
+    ("not wkt at all", False),
+    (None, None),
+]
+
+
+@pytest.mark.skipif(not HAVE_SHAPELY, reason="shapely not installed")
+def test_full_validity_ogc_battery(spark):
+    from safedata_validator_spark.functions.geo import full_validity
+
+    df = spark.createDataFrame([(i, w) for i, (w, _) in enumerate(OGC_CASES)],
+                               "id int, wkt string")
+    got = {r["id"]: r["ogc_valid"] for r in full_validity(df, "wkt").collect()}
+    for i, (wkt, expected) in enumerate(OGC_CASES):
+        assert got[i] == expected, (wkt, got[i])
+
+
+@pytest.mark.skipif(HAVE_SHAPELY, reason="shapely installed - real branch runs")
+def test_full_validity_raises_without_shapely(spark):
+    from safedata_validator_spark.functions.geo import full_validity
+
+    df = spark.createDataFrame([(1, "POINT (1 2)")], "id int, wkt string")
+    with pytest.raises(NotImplementedError, match="shapely"):
+        full_validity(df, "wkt")
+
+
+# --------------------------------------------------------------------------
+# 2. Real image codec (functions/multimodal.py decode_image PIL branch)
+# --------------------------------------------------------------------------
+
+def tiny_png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """A minimal valid solid-colour PNG built with the stdlib only, so the
+    fixture needs no codec to CREATE — only to decode."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
+def test_decode_image_real_png():
+    import numpy as np
+
+    from safedata_validator_spark.functions.multimodal import decode_image
+
+    img = decode_image(tiny_png(5, 3, (10, 200, 30)))
+    assert img.shape == (3, 5, 3) and img.dtype == np.uint8
+    assert (img == np.array([10, 200, 30], dtype=np.uint8)).all()
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
+def test_extract_features_over_real_png(spark):
+    """The mapInPandas plumbing over a REAL payload: same stage, real codec
+    (feature extraction itself stays on the surrogate path by default, so
+    this pins that a real payload flows through the schema/batch plumbing)."""
+    from safedata_validator_spark.functions.multimodal import extract_features
+
+    payload = tiny_png(8, 8, (1, 2, 3))
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", 8, 8, None, bytearray(payload))],
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    (row,) = extract_features(media).collect()
+    assert row["n_bytes"] == len(payload) and len(row["features"]) == 16
+
+
+@pytest.mark.skipif(HAVE_PIL, reason="pillow installed - real branch runs")
+def test_decode_image_raises_without_pil():
+    from safedata_validator_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(tiny_png(2, 2, (0, 0, 0)))
+
+
+def test_decode_image_surrogate_deterministic():
+    """The fake path (used by every in-container plan) is payload-keyed and
+    deterministic — runs in every environment."""
+    from safedata_validator_spark.functions.multimodal import decode_image
+
+    a = decode_image(b"payload", fake=True)
+    b = decode_image(b"payload", fake=True)
+    c = decode_image(b"other", fake=True)
+    assert (a == b).all() and a.shape == (8, 8, 3) and not (a == c).all()
+
+
+# --------------------------------------------------------------------------
+# 3. Iceberg runtime (sources/tables.py load_table / current_snapshot_id):
+#    a REAL local Hadoop-catalog round trip incl. snapshot time travel,
+#    skipped when no runtime jar is present. Point
+#    ICEBERG_SPARK_RUNTIME_JAR at e.g.
+#    iceberg-spark-runtime-4.0_2.13-<ver>.jar to activate.
+# --------------------------------------------------------------------------
+
+def _iceberg_jar() -> str | None:
+    env = os.environ.get("ICEBERG_SPARK_RUNTIME_JAR")
+    if env and os.path.exists(env):
+        return env
+    import glob
+
+    for pat in (
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar"),
+        "/opt/jars/*iceberg-spark-runtime*.jar",
+    ):
+        hits = glob.glob(pat)
+        if hits:
+            return hits[0]
+    return None
+
+
+@pytest.mark.skipif(_iceberg_jar() is None, reason="no Iceberg runtime jar")
+def test_iceberg_snapshot_round_trip(tmp_path):
+    """Separate JVM (jars must be on the driver classpath at JVM start, so
+    the shared test session cannot host this): create a Hadoop-catalog
+    table, commit twice, read latest + time-travel to the first snapshot
+    through load_table, and check current_snapshot_id returns the real id."""
+    import subprocess
+
+    script = f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from pyspark.sql import SparkSession
+from safedata_validator_spark.sources.tables import (
+    current_snapshot_id, iceberg_available, load_table)
+
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.jars", {_iceberg_jar()!r})
+    .config("spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+    .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.local.type", "hadoop")
+    .config("spark.sql.catalog.local.warehouse", {str(tmp_path / "wh")!r})
+    .getOrCreate())
+assert iceberg_available(spark)
+spark.sql("CREATE TABLE local.db.t (id BIGINT, v STRING) USING iceberg")
+spark.sql("INSERT INTO local.db.t VALUES (1, 'a')")
+snap1 = current_snapshot_id(spark, "iceberg:local.db.t")
+spark.sql("INSERT INTO local.db.t VALUES (2, 'b')")
+assert load_table(spark, "iceberg:local.db.t").count() == 2
+old = load_table(spark, "iceberg:local.db.t", snapshot_id=snap1)
+assert [r["id"] for r in old.collect()] == [1]
+snap2 = current_snapshot_id(spark, "iceberg:local.db.t")
+assert snap2 != snap1 and snap2.isdigit()
+print("ICEBERG_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "ICEBERG_OK" in out.stdout, out.stderr[-2000:]

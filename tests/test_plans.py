@@ -216,13 +216,15 @@ def test_ann_plan_building_triggers_no_jobs(spark):
 #:   ivf_ann_topk — k-means training for the coarse quantizer is iterative
 #:     by nature (bounded, runs on the sampled training slice);
 #:   stream_sequence_events — runs an actual two-micro-batch streaming query
-#:     and returns the materialized emissions (the POINT of the gate).
+#:     and returns the materialized emissions (the POINT of the gate);
+#:   ann_recall — includes the IVF path (k-means training, as above).
 EAGER_BY_DESIGN = {
     "transcript_verdicts",
     "hierarchy_closure",
     "hierarchy_congruence_events",
     "ivf_ann_topk",
     "stream_sequence_events",
+    "ann_recall",
 }
 
 
