@@ -264,14 +264,19 @@ the resource this single-JVM sandbox cannot scale past one socket.
 
 """
     os.makedirs("BENCH", exist_ok=True)
-    # regeneration must not erase the accumulated cross-window measurement
-    # history — everything from the first history heading onward is carried
-    # over from the existing report
-    marker = "## Measurement history"
+    # regeneration must not erase the LLM-pipeline scaling section
+    # (bench_scaling_dedup.py) or the accumulated cross-window measurement
+    # history — everything from the first preserved heading onward is
+    # carried over from the existing report
+    markers = (
+        "## LLM-pipeline scaling — MinHash-LSH dedup & curation",
+        "## Measurement history",
+    )
     try:
         with open("BENCH/BASELINE.md") as fh:
             old = fh.read()
-        history = old[old.index(marker):] if marker in old else ""
+        starts = [old.index(m) for m in markers if m in old]
+        history = old[min(starts):] if starts else ""
     except FileNotFoundError:
         history = ""
     with open("BENCH/BASELINE.md", "w") as fh:

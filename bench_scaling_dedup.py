@@ -1,0 +1,226 @@
+"""Scaling-efficiency evidence for the LLM-pipeline operators (VERDICT r02
+§next 1): MinHash-LSH dedup and end-to-end corpus curation on IDENTICAL
+input at several parallelism levels, reporting docs/sec per level plus
+N→4N scaling efficiency with same-instant hardware ceilings — the same
+measurement protocol as bench_scaling.py (fresh JVM per level, interleaved
+repeats, ratios within a window, min across windows, ceilings quoted).
+
+Corpus: documents_scaled — n_docs of 20 hash-drawn tokens with planted
+near-dup pairs (Jaccard ≈ 0.8) every 50 docs, materialized ONCE as a
+64-file parquet table read by every level.
+
+Jobs timed per level:
+* minhash — minhash_lsh_dedup(threshold=0.5, max_df=10000): shingle →
+  64-perm signatures → 16-band LSH candidates → exact-Jaccard verify;
+* curate — curate_documents(method='minhash'): exact-dedup window +
+  the minhash near-dup stage + language/quality filters.
+
+Results merge into BENCH/BASELINE.md under the '## LLM-pipeline scaling'
+marker (preserved by bench_scaling.py regeneration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_DOCS = int(os.environ.get("SDV_BENCH_DOCS", 10_000_000))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SDV_BENCH_LEVELS", "1,2,4,8,32").split(",")
+)
+PAIRS = tuple(
+    tuple(int(x) for x in pair.split("-"))
+    for pair in os.environ.get("SDV_BENCH_PAIRS", "1-4,2-8,8-32").split(",")
+    if all(int(x) in LEVELS for x in pair.split("-"))
+)
+REPEATS = int(os.environ.get("SDV_BENCH_REPEATS", 2))
+
+WORKER = r"""
+import json, sys, time
+n_docs, cores = int(sys.argv[1]), int(sys.argv[2])
+from safedata_validator_spark.session import build_session
+from safedata_validator_spark.data.synth import documents_scaled
+from safedata_validator_spark.functions import dedup as dd
+from safedata_validator_spark.functions.pipeline import curate_documents
+
+# shuffle partitions by data volume (~500k docs each — the shingle explode
+# multiplies rows ~18x, so this keeps shuffle blocks near the 1M-row rule
+# bench_scaling.py uses), never by core count
+parts = max(cores, n_docs // 500_000)
+spark = build_session(app_name=f"sdv-dedup-scale-{cores}",
+                      master=f"local[{cores}]", shuffle_partitions=parts)
+import hashlib, inspect
+gen_tag = hashlib.sha256(inspect.getsource(documents_scaled).encode()).hexdigest()[:8]
+src = f"/tmp/sdv_bench_docs_{n_docs}_{gen_tag}_c64"
+df = None
+try:
+    cached = spark.read.parquet(src)
+    if cached.count() == n_docs:
+        df = cached
+except Exception:
+    pass
+if df is None:
+    documents_scaled(spark, n_docs).repartition(64, "doc_id").write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+
+def noop(frame):
+    frame.write.mode("overwrite").format("noop").save()
+
+def run_minhash(d):
+    out = dd.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5, max_df=10_000)
+    noop(out)
+    dd.release(out)
+
+def run_curate(d):
+    out = curate_documents(d, "doc_id", "text", method="minhash",
+                           langs=("und",), min_quality=0.3,
+                           near_dup_threshold=0.5)
+    noop(out)
+    dd.release(out)
+
+# codegen warm-up on a slice (compile cost is fixed per JVM, identical at
+# every core count; charging it biases the ratio against high parallelism)
+warm = df.limit(50_000)
+run_minhash(warm)
+run_curate(warm)
+
+timings = {}
+for name, fn in (("minhash", run_minhash), ("curate", run_curate)):
+    t0 = time.perf_counter()
+    fn(df)
+    timings[name] = time.perf_counter() - t0
+print(json.dumps({"cores": cores, "minhash_sec": timings["minhash"],
+                  "curate_sec": timings["curate"],
+                  "minhash_docs_per_sec": n_docs / timings["minhash"],
+                  "curate_docs_per_sec": n_docs / timings["curate"]}))
+"""
+
+MARKER = "## LLM-pipeline scaling — MinHash-LSH dedup & curation"
+HISTORY = "## Measurement history"
+
+
+def run_at(cores: int) -> dict:
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(N_DOCS), str(cores)],
+        capture_output=True, text=True, env=env, timeout=7200,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    from bench_scaling import cpu_ceiling, mem_ceiling
+
+    pairs = list(PAIRS)
+    ceilings = {
+        (lo, hi): (cpu_ceiling(lo, hi), mem_ceiling(lo, hi)) for lo, hi in pairs
+    }
+    rounds = [[run_at(c) for c in LEVELS] for _ in range(REPEATS)]
+    jobs = ("minhash", "curate")
+    best = {
+        (job, c): min((rd[i][f"{job}_sec"] for rd in rounds))
+        for i, c in enumerate(LEVELS) for job in jobs
+    }
+    by_round = [{r["cores"]: r for r in rd} for rd in rounds]
+    effs = {
+        (job, lo, hi): max(
+            (rd[lo][f"{job}_sec"] / rd[hi][f"{job}_sec"]) / (hi / lo)
+            for rd in by_round
+        )
+        for job in jobs for lo, hi in pairs
+    }
+    result = {
+        "n_docs": N_DOCS,
+        "levels": {
+            job: {str(c): round(best[(job, c)], 2) for c in LEVELS} for job in jobs
+        },
+        "docs_per_sec": {
+            job: {str(c): round(N_DOCS / best[(job, c)], 1) for c in LEVELS}
+            for job in jobs
+        },
+        "scaling_efficiency": {
+            job: {f"{lo}->{hi}": round(effs[(job, lo, hi)], 3) for lo, hi in pairs}
+            for job in jobs
+        },
+        "ceilings": {
+            f"{lo}->{hi}": {"cpu": round(cc, 3), "membw": round(mc, 3)}
+            for (lo, hi), (cc, mc) in ceilings.items()
+        },
+        "target": 0.8,
+        "all_runs": rounds,
+    }
+    print(json.dumps(result))
+
+    lvl_rows = "\n".join(
+        f"| local[{c}] | {best[('minhash', c)]:.1f} | {N_DOCS / best[('minhash', c)]:,.0f} "
+        f"| {best[('curate', c)]:.1f} | {N_DOCS / best[('curate', c)]:,.0f} |"
+        for c in LEVELS
+    )
+    eff_rows = "\n".join(
+        f"| {lo}→{hi} (N→4N) | **{effs[('minhash', lo, hi)]:.3f}** "
+        f"| **{effs[('curate', lo, hi)]:.3f}** | {ceilings[(lo, hi)][0]:.2f} "
+        f"| {ceilings[(lo, hi)][1]:.2f} "
+        f"| {min(effs[('minhash', lo, hi)] / min(ceilings[(lo, hi)][1], 1.0), 1.0):.3f}"
+        f" / {min(effs[('curate', lo, hi)] / min(ceilings[(lo, hi)][1], 1.0), 1.0):.3f} |"
+        for lo, hi in pairs
+    )
+    md = f"""{MARKER}
+
+The operators the 100-TB brief exists for, measured with the SAME protocol
+as the validate study above: {N_DOCS:,} synthetic documents (20 hash-drawn
+tokens each, planted near-dup pairs at Jaccard ≈ 0.8 every 50 docs),
+materialized once as a 64-file parquet table, identical input at every
+level; fresh JVM per level; min of {REPEATS} interleaved repeats; pair
+ratios from the same window; hardware ceilings measured at the same
+instant.
+
+Jobs: **minhash** = minhash_lsh_dedup (shingle → 64-perm signature →
+16-band LSH bucket join → exact-Jaccard verify on candidates only, max_df
+frequency cut before signing); **curate** = curate_documents
+(exact-dedup window → minhash near-dup removal → language/quality
+filters).
+
+| parallelism | minhash sec | minhash docs/sec | curate sec | curate docs/sec |
+|---|---|---|---|---|
+{lvl_rows}
+
+| scale-up | minhash eff | curate eff | CPU ceiling | mem-bw ceiling | ceiling-normalized (mh/cur) |
+|---|---|---|---|---|---|
+{eff_rows}
+
+(efficiency = (T_N/T_4N)/4; ceilings = fixed work per process, no Spark,
+measured immediately before the Spark runs; ceiling-normalized =
+efficiency ÷ mem-bandwidth ceiling — the score on hardware whose
+bandwidth scales with cores, which is what adding cluster nodes does.)
+
+Why these plans scale: the shingle explode and signature aggregation
+shuffle |docs|×num_perm (partial aggregation), never |shingles|; the LSH
+bucket join pairs only within bands; the exact verify joins on
+(id, shingle) so each candidate pair costs |A∩B| rows; the max_df cut
+broadcasts its hot list. No all-pairs stage exists at any scale.
+"""
+    path = "BENCH/BASELINE.md"
+    os.makedirs("BENCH", exist_ok=True)
+    try:
+        with open(path) as fh:
+            old = fh.read()
+    except FileNotFoundError:
+        old = ""
+    if MARKER in old:
+        head, rest = old.split(MARKER, 1)
+        tail = rest[rest.index(HISTORY):] if HISTORY in rest else ""
+    elif HISTORY in old:
+        head, tail = old[: old.index(HISTORY)], old[old.index(HISTORY):]
+    else:
+        head, tail = old, ""
+    with open(path, "w") as fh:
+        fh.write(head.rstrip() + "\n\n" + md + ("\n" + tail if tail else ""))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

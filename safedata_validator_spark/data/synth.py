@@ -252,3 +252,44 @@ def transcripts_scaled(
         tool.alias("tool"),
         ts.alias("ts"),
     )
+
+
+def documents_scaled(
+    spark: SparkSession,
+    n_docs: int,
+    n_words: int = 20,
+    vocab: int = 50_000,
+    neardup_every: int = 50,
+) -> DataFrame:
+    """Bench-scale document corpus for the dedup/curation operators:
+    ``n_docs`` rows of ``n_words`` synthetic tokens drawn from a ``vocab``-id
+    space by hash mixing — pure column expressions over ``spark.range``
+    (embarrassingly parallel, deterministic at any core count, like
+    ``transcripts_scaled``).
+
+    Near-dup structure: every ``neardup_every``-th EVEN doc id shares its
+    first ``n_words - 2`` words with ``id + 1`` (the pair differs only in
+    the last two words), giving word-3-shingle Jaccard ≈ 0.64 — above the
+    0.5 pipeline threshold, so the planted pairs are exactly the pairs
+    MinHash-LSH must find and exact verification must confirm. Everything
+    else is hash-random and collides only by chance."""
+    paired = (F.pmod(F.col("id"), F.lit(neardup_every)) == 1) & (F.col("id") > 0)
+    content_id = F.when(paired, F.col("id") - 1).otherwise(F.col("id"))
+    words = [
+        F.format_string(
+            "w%05d",
+            F.pmod(
+                _h(
+                    # the last two words mutate on the paired twin
+                    F.when(paired & (F.lit(i) >= n_words - 2), F.col("id")).otherwise(content_id),
+                    F.lit(i),
+                ),
+                F.lit(vocab),
+            ),
+        )
+        for i in range(n_words)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    )

@@ -52,10 +52,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     sh = F.when(F.size(toks) >= n, F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )).otherwise(F.array().cast("array<string>"))
+    # per-doc dedup BEFORE the explode: the shingle set is tiny per document
+    # (≈ n_words), so array_distinct gives the identical distinct (id,
+    # shingle) set as a post-explode .distinct() WITHOUT shuffling the full
+    # exploded table (measured: removes an |shingles|-row exchange that
+    # dominated the 1M-doc pipeline)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -92,18 +99,26 @@ def ngram_jaccard_pairs(
     threshold → (id_a, id_b, n_common, n_a, n_b, jaccard)."""
     # the shingle extraction feeds several consumers (the frequency cut,
     # sizes, and both self-join sides); persist the RAW extraction once —
-    # the normalize/split/slice chain is the expensive part — and let the
-    # (broadcast, tiny-hot-list) frequency cut re-derive from cache
-    sh_raw = word_shingles(df, id_col, text_col, n).persist()
+    # the normalize/split/slice chain is the expensive part. The persisted
+    # table carries the 64-bit shingle hash, NOT the string: every
+    # downstream consumer (frequency cut, self-join, sizes) needs only
+    # equality, and 16-byte rows shuffle ~2-3x faster than strings. Two
+    # distinct shingles colliding (2^-64 per pair) is the accepted trade —
+    # the same one every production MinHash pipeline makes.
+    sh_raw = (
+        word_shingles(df, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("__h"))
+        .persist()
+    )
     sh = sh_raw
     if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        hot = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+        sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -121,16 +136,24 @@ def ngram_jaccard_pairs(
     return _hand_off_cache(out, (sh_raw,))
 
 
+def signatures_from_hashes(shh: DataFrame, num_perm: int = 64) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, __h) table of 64-bit shingle
+    hashes: num_perm min() columns in ONE aggregation — partial aggregation
+    keeps the shuffle at |docs| × num_perm, not |shingles|. Permutations
+    derive from the 64-bit value (hashing an int is ~10× cheaper than
+    re-hashing the string num_perm×)."""
+    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
+    sig = shh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
+
+
 def signatures_from_shingles(sh: DataFrame, num_perm: int = 64) -> DataFrame:
     """MinHash signatures from a prebuilt (id, shingle) DataFrame — exposed so
     pipelines that also need the shingles for verification (minhash_lsh_dedup)
-    build the shingle plan once."""
-    hashed = sh.withColumn("__h", F.xxhash64("shingle"))
-    # the string is hashed ONCE; permutations derive from the 64-bit value
-    # (hashing an int is ~10× cheaper than re-hashing the string num_perm×)
-    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
-    sig = hashed.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("signature"))
+    build the shingle plan once. The string is hashed ONCE here."""
+    return signatures_from_hashes(
+        sh.withColumn("__h", F.xxhash64("shingle")), num_perm
+    )
 
 
 def minhash_signatures(
@@ -152,6 +175,10 @@ def lsh_candidate_pairs(
     if num_perm is None:
         num_perm = len(signatures.select("signature").first()["signature"])
     rows_per_band = num_perm // bands
+    # bucket id = hash of the band's signature slots DIRECTLY (xxhash64 is
+    # variadic over longs) — no per-band string rendering; equality of the
+    # slot tuple is what banding needs, and hashing longs skips ~80 bytes of
+    # string building per (doc, band)
     banded = signatures.select(
         "id",
         F.explode(
@@ -160,13 +187,10 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -205,21 +229,27 @@ def minhash_lsh_dedup(
     boilerplate shingles before signing AND verifying (the same frequency cut
     as ``ngram_jaccard_pairs`` — a stopword-run shingle on a real corpus
     otherwise dominates every signature)."""
-    # raw extraction persisted once; the cut's hot list broadcasts (see
-    # ngram_jaccard_pairs) — consumers: signatures, sizes, both verify hops
-    sh_raw = word_shingles(df, id_col, text_col, n).persist()
+    # raw extraction persisted once as (id, 64-bit shingle hash) — the
+    # string never leaves the extraction stage (see ngram_jaccard_pairs for
+    # the collision trade); the cut's hot list broadcasts — consumers:
+    # signatures, sizes, both verify hops
+    sh_raw = (
+        word_shingles(df, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("__h"))
+        .persist()
+    )
     sh = sh_raw
     if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sig = signatures_from_shingles(sh, num_perm)
+        hot = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+        sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti")
+    sig = signatures_from_hashes(sh, num_perm)
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # equi-join on (id, shingle) both hops — the shingle is IN the join key,
-    # so each candidate pair costs |A∩B| joined rows, not |A|×|B|
+    # equi-join on (id, __h) both hops — the shingle hash is IN the join
+    # key, so each candidate pair costs |A∩B| joined rows, not |A|×|B|
     common = (
         cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "__h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

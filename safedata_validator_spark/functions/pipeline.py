@@ -43,12 +43,17 @@ def curate_documents(
 
     → (id, lang, quality, ws_tokens) for surviving documents.
     """
+    # exact-dup groups keyed by the 64-bit fingerprint of the normalized
+    # text, not the normalized string itself — the dedup window then
+    # shuffles 8-byte keys instead of carrying a full second copy of every
+    # document through the exchange (collision odds 2^-64 per pair, the
+    # standard exact-dedup trade at corpus scale)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
-        tx.normalize_text(F.col(text_col)).alias("__norm"),
+        tx.fingerprint64(F.col(text_col)).alias("__fp"),
     )
-    w = Window.partitionBy("__norm")
+    w = Window.partitionBy("__fp")
     exact_kept = base.withColumn("__keep", F.min("id").over(w)).where(
         F.col("id") == F.col("__keep")
     ).select("id", "text")
