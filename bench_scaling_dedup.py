@@ -119,7 +119,14 @@ def main() -> None:
     ceilings = {
         (lo, hi): (cpu_ceiling(lo, hi), mem_ceiling(lo, hi)) for lo, hi in pairs
     }
-    rounds = [[run_at(c) for c in LEVELS] for _ in range(REPEATS)]
+    rounds = []
+    for rep in range(REPEATS):
+        rd = []
+        for c in LEVELS:
+            r = run_at(c)
+            print(f"# round {rep} local[{c}]: {json.dumps(r)}", file=sys.stderr, flush=True)
+            rd.append(r)
+        rounds.append(rd)
     jobs = ("minhash", "curate")
     best = {
         (job, c): min((rd[i][f"{job}_sec"] for rd in rounds))
