@@ -54,9 +54,15 @@ def curate_documents(
         tx.fingerprint64(F.col(text_col)).alias("__fp"),
     )
     w = Window.partitionBy("__fp")
-    exact_kept = base.withColumn("__keep", F.min("id").over(w)).where(
-        F.col("id") == F.col("__keep")
-    ).select("id", "text")
+    # exact_kept feeds BOTH the pair-finding stage and the survivor
+    # anti-join — persist so the source scan + fingerprint window runs
+    # once, not once per consumer (released via the cache hand-off below)
+    exact_kept = (
+        base.withColumn("__keep", F.min("id").over(w))
+        .where(F.col("id") == F.col("__keep"))
+        .select("id", "text")
+        .persist()
+    )
 
     if method == "minhash":
         pairs = dd.minhash_lsh_dedup(
@@ -67,7 +73,11 @@ def curate_documents(
             exact_kept, "id", "text", n=n, threshold=near_dup_threshold
         )
     drop = pairs.select(F.col("id_b").alias("id")).distinct()
-    survivors = exact_kept.join(drop, "id", "left_anti")
+    # explicit broadcast: the drop list is bounded by the near-dup pair
+    # count (tiny next to the corpus), and AQE cannot replan the cached
+    # exact_kept probe side (no exchange = no stage boundary), so without
+    # the hint this anti-join shuffles every surviving document's text
+    survivors = exact_kept.join(F.broadcast(drop), "id", "left_anti")
 
     enriched = survivors.select(
         "id",
@@ -75,9 +85,19 @@ def curate_documents(
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
         tx.ws_token_count(F.col("text")).alias("ws_tokens"),
     )
+    # persist the (text-free, four-column) enrichment before filtering:
+    # Catalyst pushes the lang/quality predicate through the projection by
+    # SUBSTITUTING the full expression trees into a Filter, which gets no
+    # subexpression elimination — every marker regex then re-evaluates per
+    # reference (measured: 6s → 49s per 1M docs). Filtering the cached
+    # columns evaluates each expression exactly once.
+    enriched = enriched.persist()
     out = enriched.where(
         F.col("lang").isin(list(langs)) & (F.col("quality") >= min_quality)
     )
-    # the pair-finding stage persisted its shingle extraction; hand the
-    # cache up so the caller can dd.release(out) after materializing
-    return dd._hand_off_cache(out, getattr(pairs, "_sdv_cached", ()))
+    # the pair-finding stage persisted its shingle extraction; hand that
+    # cache plus our own exact_kept up so the caller can dd.release(out)
+    # after materializing
+    return dd._hand_off_cache(
+        out, tuple(getattr(pairs, "_sdv_cached", ())) + (exact_kept, enriched)
+    )
