@@ -253,6 +253,24 @@ def test_catalog_plan_building_triggers_no_jobs(spark):
     assert not offenders, f"plan build ran jobs: {offenders}"
 
 
+def test_minhash_verify_broadcasts_candidate_filters(spark):
+    """The LSH pipeline must reach its big tables only through BROADCAST
+    side-filters (hot-shingle anti-join, colliding-bucket semi-join,
+    candidate-member semi-join): AQE cannot replan a cached-scan probe side
+    (no exchange = no stage boundary), so losing an explicit broadcast
+    regresses to a full-table SortMergeJoin serving a candidate set orders
+    of magnitude smaller — the round-2 verify stage cost 50s of a 100s
+    pipeline at 1M docs exactly this way."""
+    from safedata_validator_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dd.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5, max_df=100)
+    plan = _physical(out)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    dd.release(out)
+
+
 def test_scale_parameterized_ann_defaults():
     """nbits/n_centroids derivations follow the documented scaling rules."""
     from safedata_validator_spark.functions.similarity import n_centroids_for, nbits_for
