@@ -11,16 +11,17 @@ structural syntax checks (known tag, balanced parentheses, coordinate
 pairs, the reference's 2-D-only rule) and bounding boxes for all standard
 WKT kinds are pure Column expressions (regex + higher-order array
 functions), so a WKT column on a 10^12-row fact table validates inside
-whole-stage codegen. Full OGC validity (ring closure, self-intersection)
-needs a real geometry library; ``full_validity`` is the Arrow-batched
-pandas-UDF hook for it, routed through an import-try like the multimodal
-codec stub since shapely is not in this container — on the reference's own
-data model that level of validation only ever runs on the SMALL locations
-dimension (SURVEY §2.8), never the fact table.
+whole-stage codegen. Full OGC validity (ring closure, self-intersection,
+hole topology) runs in ``full_validity``, an Arrow-batched pandas UDF with
+two backends: shapely/GEOS (the reference's engine) when importable, else
+the built-in pure-numpy implementation in ``geo_validity`` — on the
+reference's own data model that level of validation only ever runs on the
+SMALL locations dimension (SURVEY §2.8), never the fact table.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,35 +115,64 @@ def lonlat_in_range(lon: Column, lat: Column) -> Column:
     )
 
 
-def full_validity(df: DataFrame, wkt_col: str, out_col: str = "ogc_valid") -> DataFrame:
-    """OGC-level validity (ring closure, self-intersection) via shapely in an
-    Arrow-batched pandas UDF — dimension-table scale only. STUB when shapely
-    is absent (this container): raises NotImplementedError, mirroring the
-    multimodal codec stub; the Spark-side plumbing is real and swapping in
-    shapely changes nothing upstream."""
-    try:
-        import shapely.wkt  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "shapely is not available in this environment; structural checks "
-            "(wkt_is_valid_syntax/wkt_bounds) cover the JVM-side battery"
-        ) from exc
+def full_validity(
+    df: DataFrame, wkt_col: str, out_col: str = "ogc_valid", backend: str = "auto"
+) -> DataFrame:
+    """OGC-level validity (ring closure, self-intersection, hole topology)
+    in an Arrow-batched pandas UDF — dimension-table scale only (on the
+    reference's data model this check runs on the locations dimension,
+    never the fact table; locations.py:353-364).
 
-    import pandas as pd
+    ``backend='auto'`` prefers shapely (GEOS — the reference's own
+    engine) when importable and otherwise uses the BUILT-IN pure-numpy
+    implementation (``geo_validity.ogc_valid_wkt``), which covers the
+    reference's invalid classes (parse failure, Z geometry, ring
+    self-intersection/pinch/spike, zero-area rings, hole-outside-shell,
+    nested holes, overlapping multipolygon shells) with one documented
+    divergence (interior-connectivity via chained hole touches).
+    ``backend='builtin'`` / ``'shapely'`` force a side; forcing shapely
+    without the library raises NotImplementedError."""
+    if backend == "auto":
+        try:
+            import shapely.wkt  # noqa: F401
 
-    @F.pandas_udf("boolean")
-    def _valid(s: pd.Series) -> pd.Series:
-        import shapely.wkt as _w
+            backend = "shapely"
+        except ImportError:
+            backend = "builtin"
+    if backend == "shapely":
+        try:
+            import shapely.wkt  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "shapely backend requested but the library is not installed; "
+                "use backend='auto' or 'builtin' for the pure-numpy engine"
+            ) from exc
 
-        def one(v):
-            if v is None:
-                return None
-            try:
-                g = _w.loads(v)
-            except Exception:
-                return False
-            return bool(g.is_valid) and not g.has_z
+    if backend == "builtin":
 
-        return s.map(one)
+        @F.pandas_udf("boolean")
+        def _valid(s: pd.Series) -> pd.Series:
+            from safedata_validator_spark.functions.geo_validity import (
+                ogc_valid_wkt,
+            )
+
+            return s.map(ogc_valid_wkt).astype("object")
+
+    else:
+
+        @F.pandas_udf("boolean")
+        def _valid(s: pd.Series) -> pd.Series:
+            import shapely.wkt as _w
+
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    g = _w.loads(v)
+                except Exception:
+                    return False
+                return bool(g.is_valid) and not g.has_z
+
+            return s.map(one)
 
     return df.withColumn(out_col, _valid(F.col(wkt_col)))

@@ -47,12 +47,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
     Real path: PIL (pillow) when importable — any format PIL reads, coerced
-    to RGB. This container lacks pillow, so without ``fake=True`` the call
-    raises NotImplementedError (environment-gated, like geo.full_validity);
-    the PIL branch is exercised by tests/test_env_gated.py the moment the
-    library is present. ``fake=True`` produces a deterministic 8x8x3
-    surrogate derived from the payload digest, so downstream feature
-    plumbing is exercisable everywhere.
+    to RGB. Without pillow, PNG payloads still decode for real through the
+    built-in pure-stdlib codec (``functions.png``: chunk framing + zlib
+    inflate + numpy unfiltering — parity with PIL pinned in
+    tests/test_env_gated.py); non-PNG payloads without pillow raise
+    NotImplementedError. ``fake=True`` produces a deterministic 8x8x3
+    surrogate derived from the payload digest, so hash-seeded golden plans
+    stay payload-keyed and environment-independent.
     """
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
@@ -60,11 +61,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return rng.reshape(8, 8, 3)
     try:
         from PIL import Image
-    except ImportError as exc:
+    except ImportError:
+        from safedata_validator_spark.functions import png as _png
+
+        if _png.is_png(payload or b""):
+            return np.ascontiguousarray(_png.to_rgb(_png.decode_png(payload)))
         raise NotImplementedError(
-            "image codec (pillow) not available in this environment; pass "
-            "fake=True for the deterministic surrogate"
-        ) from exc
+            "non-PNG image codec (pillow) not available in this environment; "
+            "PNG decodes via the built-in codec, or pass fake=True for the "
+            "deterministic surrogate"
+        )
     import io
 
     with Image.open(io.BytesIO(payload)) as img:
@@ -84,11 +90,32 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def _pooled_features(img: np.ndarray) -> list[float]:
+    """FEATURE_DIM bucket means over the flattened image (tiled up when the
+    image has fewer samples than buckets, so any real decode size works)."""
+    flat = img.astype(np.float32).reshape(-1)
+    if len(flat) < FEATURE_DIM:
+        flat = np.resize(flat, FEATURE_DIM)
+    return (
+        flat[: (len(flat) // FEATURE_DIM) * FEATURE_DIM]
+        .reshape(FEATURE_DIM, -1)
+        .mean(axis=1)
+        / 255.0
+    ).tolist()
+
+
+def extract_features(
+    media: DataFrame, batch_hint: int = 1024, codec: str = "fake"
+) -> DataFrame:
     """Feature extraction as a ``mapInPandas`` stage: per Arrow batch, decode
-    (surrogate) and emit a fixed-dim float feature vector + integrity
-    metadata. The stage is partition-preserving (no shuffle) and vectorized —
-    numpy over the whole batch, one Python call per batch, never per row."""
+    and emit a fixed-dim float feature vector + integrity metadata. The stage
+    is partition-preserving (no shuffle) and vectorized — numpy over the
+    whole batch, one Python call per batch, never per row.
+
+    ``codec='fake'`` (default) keeps the deterministic payload-keyed
+    surrogate every golden plan is seeded with; ``codec='real'`` decodes
+    image payloads for real (pillow when installed, else the built-in PNG
+    codec) and falls back to the surrogate for non-image kinds."""
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -96,14 +123,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             n_bytes = payloads.map(len).astype("int32")
             sha = payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
             feats = []
-            for p in payloads:
-                img = decode_image(bytes(p), fake=True).astype(np.float32)
-                flat = img.reshape(-1)
-                # deterministic pooled features: FEATURE_DIM bucket means
-                feats.append(
-                    (flat[: (len(flat) // FEATURE_DIM) * FEATURE_DIM]
-                     .reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0).tolist()
-                )
+            for kind, p in zip(pdf["kind"], payloads):
+                real = codec == "real" and kind == "image"
+                img = decode_image(bytes(p), fake=not real)
+                feats.append(_pooled_features(img))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,6 +140,34 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(per_batch, schema=FEATURES_DDL)
 
 
+def _box_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact box-average resample to (out_h, out_w, C) for ANY input size:
+    images smaller than the target are repeated up first, then an integral
+    image gives every output cell the exact mean of its pixel bin — for
+    divisible sizes this equals the classic reshape-and-mean block average
+    (so surrogate-seeded goldens are unchanged), for ragged sizes every
+    input pixel lands in exactly one bin instead of being truncated."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[0] < out_h:
+        img = np.repeat(img, -(-out_h // img.shape[0]), axis=0)
+    if img.shape[1] < out_w:
+        img = np.repeat(img, -(-out_w // img.shape[1]), axis=1)
+    h, w, c = img.shape
+    ye = np.arange(out_h + 1) * h // out_h
+    xe = np.arange(out_w + 1) * w // out_w
+    integral = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    integral[1:, 1:] = img.cumsum(axis=0).cumsum(axis=1)
+    s = (
+        integral[ye[1:, None], xe[None, 1:]]
+        - integral[ye[:-1, None], xe[None, 1:]]
+        - integral[ye[1:, None], xe[None, :-1]]
+        + integral[ye[:-1, None], xe[None, :-1]]
+    )
+    area = (ye[1:, None] - ye[:-1, None]) * (xe[None, 1:] - xe[None, :-1])
+    return (s / area[:, :, None]).astype(np.float32)
+
+
 RESIZED_DDL = (
     "media_id long, kind string, out_w int, out_h int, "
     "pixels array<float>"
@@ -128,13 +179,17 @@ FRAMES_DDL = (
 )
 
 
-def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
-    """Image resize as a partition-preserving ``mapInPandas`` stage: decode
-    (surrogate), box-average down to (out_w, out_h), emit normalised pixel
-    means. The resize math (reshape + mean over blocks) is REAL and
-    vectorized; only the codec behind ``decode_image`` is stubbed. Non-image
-    rows pass through with NULL pixels (schema stability over filtering, so
-    the stage composes with mixed-media tables)."""
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, codec: str = "fake"
+) -> DataFrame:
+    """Image resize as a partition-preserving ``mapInPandas`` stage: decode,
+    box-average down to (out_w, out_h), emit normalised pixel means. The
+    resize math (reshape + mean over blocks) is real and vectorized;
+    ``codec='real'`` decodes the payload for real (pillow or the built-in
+    PNG codec), ``codec='fake'`` uses the deterministic surrogate the
+    golden plans are seeded with. Non-image rows pass through with NULL
+    pixels (schema stability over filtering, so the stage composes with
+    mixed-media tables)."""
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -143,14 +198,10 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
                 if kind != "image":
                     out_pixels.append(None)
                     continue
-                img = decode_image(bytes(payload or b""), fake=True).astype(np.float32)
-                h, w, _ = img.shape
-                bh, bw = max(h // out_h, 1), max(w // out_w, 1)
-                small = (
-                    img[: bh * out_h, : bw * out_w]
-                    .reshape(out_h, bh, out_w, bw, 3)
-                    .mean(axis=(1, 3))
-                )
+                img = decode_image(
+                    bytes(payload or b""), fake=codec != "real"
+                ).astype(np.float32)
+                small = _box_resize(img, out_h, out_w)
                 out_pixels.append((small.reshape(-1) / 255.0).tolist())
             yield pd.DataFrame(
                 {

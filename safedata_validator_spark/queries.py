@@ -1213,6 +1213,181 @@ FROM r GROUP BY kind, valid
 """
 
 
+# --------------------------------------------------------------------------
+# 25b. Full OGC validity audit — drives the BUILT-IN pure-numpy geometry
+#      engine (functions/geo_validity.py, the shapely-free backend of
+#      geo.full_validity; reference locations.py:353-364 `.is_valid`).
+#      Six geometry classes are constructed deterministically from orders
+#      keys; each class has a KNOWN validity by construction, so the DuckDB
+#      oracle computes the expected (class, ogc_valid, n) table purely
+#      arithmetically — no geometry code on the oracle side, meaning a
+#      validity-engine defect cannot cancel itself out.
+# --------------------------------------------------------------------------
+
+
+def q_ogc_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC validity over generated WKT: valid points/polygons/holed polygons
+    vs bowties (self-intersection), Z points, unclosed rings and
+    hole-outside-shell — through the Arrow-batched pandas UDF with the
+    builtin backend (environment-independent: shapely, when installed, is
+    covered by the parity battery in tests/test_env_gated.py instead)."""
+    from safedata_validator_spark.functions import geo
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    c = F.col("o_custkey").cast("long")
+    # quarter-grid coordinates: exact binary fractions, so double→string
+    # renders plain decimals both here and in the oracle's expectations
+    lon = (F.pmod(k, F.lit(360)) - 180 + 0.25).cast("double")
+    lat = (F.pmod(c, F.lit(180)) - 90 + 0.5).cast("double")
+    s = lambda v: v.cast("string")  # noqa: E731
+    x0, y0, x1, y1 = s(lon), s(lat), s(lon + 1.0), s(lat + 1.0)
+    hx0, hy0, hx1, hy1 = s(lon + 0.25), s(lat + 0.25), s(lon + 0.5), s(lat + 0.5)
+    SP, CM = F.lit(" "), F.lit(", ")
+
+    def ring(ax, ay, bx, by):
+        # axis-aligned CCW rectangle ring (ax ay, bx ay, bx by, ax by, ax ay)
+        return F.concat(ax, SP, ay, CM, bx, SP, ay, CM, bx, SP, by, CM,
+                        ax, SP, by, CM, ax, SP, ay)
+
+    point = F.concat(F.lit("POINT ("), x0, SP, y0, F.lit(")"))
+    zpoint = F.concat(F.lit("POINT Z ("), x0, SP, y0, F.lit(" 5)"))
+    polygon = F.concat(F.lit("POLYGON (("), ring(x0, y0, x1, y1), F.lit("))"))
+    bowtie = F.concat(  # edges cross: (x0 y0→x1 y1) × (x1 y0→x0 y1)
+        F.lit("POLYGON (("), x0, SP, y0, CM, x1, SP, y1, CM, x1, SP, y0,
+        CM, x0, SP, y1, CM, x0, SP, y0, F.lit("))"),
+    )
+    unclosed = F.concat(  # first != last: ring never closes
+        F.lit("POLYGON (("), x0, SP, y0, CM, x1, SP, y0, CM, x1, SP, y1,
+        F.lit("))"),
+    )
+    holed = F.concat(  # hole strictly inside the shell: valid
+        F.lit("POLYGON (("), ring(x0, y0, x1, y1), F.lit("), ("),
+        ring(hx0, hy0, hx1, hy1), F.lit("))"),
+    )
+    stray_hole = F.concat(  # hole 5 units east of the shell: invalid
+        F.lit("POLYGON (("), ring(x0, y0, x1, y1), F.lit("), ("),
+        ring(s(lon + 5.0), hy0, s(lon + 5.5), hy1), F.lit("))"),
+    )
+    cls = F.pmod(k, F.lit(11))
+    wkt = (
+        F.when(cls == 0, bowtie)
+        .when(cls == 1, zpoint)
+        .when(cls == 2, unclosed)
+        .when(cls == 3, stray_hole)
+        .when(cls == 4, holed)
+        .when(cls == 5, polygon)
+        .otherwise(point)
+    )
+    label = (
+        F.when(cls == 0, "bowtie")
+        .when(cls == 1, "zpoint")
+        .when(cls == 2, "unclosed")
+        .when(cls == 3, "stray_hole")
+        .when(cls == 4, "holed")
+        .when(cls == 5, "polygon")
+        .otherwise("point")
+    )
+    g = o.select(label.alias("cls"), wkt.alias("wkt"))
+    checked = geo.full_validity(g, "wkt", backend="builtin")
+    return checked.groupBy("cls", "ogc_valid").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_OGC_VALIDITY_AUDIT = """
+SELECT CASE CAST(o_orderkey AS BIGINT) % 11
+         WHEN 0 THEN 'bowtie' WHEN 1 THEN 'zpoint' WHEN 2 THEN 'unclosed'
+         WHEN 3 THEN 'stray_hole' WHEN 4 THEN 'holed' WHEN 5 THEN 'polygon'
+         ELSE 'point' END AS cls,
+       CAST(o_orderkey AS BIGINT) % 11 NOT IN (0, 1, 2, 3) AS ogc_valid,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 25c. Real PNG decode audit — drives the BUILT-IN pure-stdlib PNG codec
+#      (functions/png.py) through decode_image's REAL (non-surrogate) path
+#      inside a mapInPandas stage: per doc a solid-colour PNG is encoded
+#      (varying size, channel layout grey/RGB/RGBA and scanline filter type
+#      0-4, so every unfilter branch executes), decoded back, and pixel
+#      statistics emitted. The DuckDB oracle recomputes those statistics
+#      ARITHMETICALLY from the colour formula — it never touches a byte of
+#      PNG — so an encode/decode defect cannot cancel out.
+# --------------------------------------------------------------------------
+
+_PNG_AUDIT_DOCS = 240
+
+
+def q_png_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _PNG_AUDIT_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def per_batch(it):
+        import numpy as _np
+
+        from safedata_validator_spark.functions.multimodal import decode_image
+        from safedata_validator_spark.functions.png import encode_png
+
+        for pdf in it:
+            ids, n_px, mean_px, min_px, max_px = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                r, g, b = (i * 37) % 256, (i * 59) % 256, (i * 83) % 256
+                grey = (i * 53) % 256
+                alpha = (i * 29) % 256
+                w, h = i % 6 + 3, i % 5 + 2
+                layout = i % 3  # 0=RGB, 1=RGBA, 2=greyscale
+                if layout == 0:
+                    arr = _np.tile(_np.array([r, g, b], _np.uint8), (h, w, 1))
+                elif layout == 1:
+                    arr = _np.tile(_np.array([r, g, b, alpha], _np.uint8), (h, w, 1))
+                else:
+                    arr = _np.full((h, w, 1), grey, _np.uint8)
+                img = decode_image(encode_png(arr, filter_type=i % 5))
+                ids.append(i)
+                n_px.append(int(img.size))
+                mean_px.append(round(float(img.mean()), 6))
+                min_px.append(int(img.min()))
+                max_px.append(int(img.max()))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "n_px": n_px, "mean_px": mean_px,
+                 "min_px": min_px, "max_px": max_px}
+            )
+
+    return d.mapInPandas(
+        per_batch,
+        schema="doc_id long, n_px int, mean_px double, min_px int, max_px int",
+    )
+
+
+SQL_PNG_DECODE_AUDIT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         (CAST(doc_id AS BIGINT) * 37) % 256 AS r,
+         (CAST(doc_id AS BIGINT) * 59) % 256 AS g,
+         (CAST(doc_id AS BIGINT) * 83) % 256 AS b,
+         (CAST(doc_id AS BIGINT) * 53) % 256 AS grey,
+         CAST(doc_id AS BIGINT) % 6 + 3 AS w,
+         CAST(doc_id AS BIGINT) % 5 + 2 AS h,
+         CAST(doc_id AS BIGINT) % 3 AS layout
+  FROM documents WHERE doc_id < {_PNG_AUDIT_DOCS}
+)
+SELECT i AS doc_id,
+       CAST(w * h * 3 AS INT) AS n_px,
+       -- decode_image coerces to RGB: alpha dropped, grey replicated
+       round(CASE WHEN layout = 2 THEN CAST(grey AS DOUBLE)
+                  ELSE (r + g + b) / 3.0 END, 6) AS mean_px,
+       CAST(CASE WHEN layout = 2 THEN grey ELSE LEAST(r, g, b) END AS INT) AS min_px,
+       CAST(CASE WHEN layout = 2 THEN grey ELSE GREATEST(r, g, b) END AS INT) AS max_px
+FROM p
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -1518,6 +1693,8 @@ QUERIES = {
     "media_features": q_media_features,
     "quality_docs": q_quality_docs,
     "wkt_geo_audit": q_wkt_geo_audit,
+    "ogc_validity_audit": q_ogc_validity_audit,
+    "png_decode_audit": q_png_decode_audit,
     "curate_corpus": q_curate_corpus,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
@@ -1536,6 +1713,8 @@ QUERIES = {
 
 ORACLES = {
     "wkt_geo_audit": SQL_WKT_GEO_AUDIT,
+    "ogc_validity_audit": SQL_OGC_VALIDITY_AUDIT,
+    "png_decode_audit": SQL_PNG_DECODE_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,

@@ -1,8 +1,11 @@
-"""Environment-gated batteries: skipped-not-absent tests for the three
-honest environment boundaries (VERDICT r02 §next 5-7). Each stub's real
-branch gains an executable gate the moment its library/jar is present in
-the environment; in this container the batteries skip and the
-stub-raises contracts run instead."""
+"""Environment-gated batteries for the three environment boundaries
+(VERDICT r02 §next 5-7). Round 3 closed two of them with BUILT-IN
+backends: OGC geometry validity now has a pure-numpy engine
+(functions/geo_validity.py) and PNG payloads decode through a
+pure-stdlib codec (functions/png.py), so those batteries run in EVERY
+environment; shapely/pillow, when present, additionally run as parity
+oracles against the built-ins. Only the Iceberg runtime (a jar, not a
+library) remains skipped-not-absent."""
 
 from __future__ import annotations
 
@@ -43,8 +46,10 @@ OGC_CASES = [
 ]
 
 
-@pytest.mark.skipif(not HAVE_SHAPELY, reason="shapely not installed")
 def test_full_validity_ogc_battery(spark):
+    """Runs in EVERY environment: backend='auto' resolves to shapely when
+    installed, else the built-in pure-numpy engine — both must clear the
+    reference's invalid classes."""
     from safedata_validator_spark.functions.geo import full_validity
 
     df = spark.createDataFrame([(i, w) for i, (w, _) in enumerate(OGC_CASES)],
@@ -54,13 +59,39 @@ def test_full_validity_ogc_battery(spark):
         assert got[i] == expected, (wkt, got[i])
 
 
-@pytest.mark.skipif(HAVE_SHAPELY, reason="shapely installed - real branch runs")
-def test_full_validity_raises_without_shapely(spark):
+def test_full_validity_forced_shapely_contract(spark):
+    df = spark.createDataFrame([(1, "POINT (1 2)")], "id int, wkt string")
     from safedata_validator_spark.functions.geo import full_validity
 
-    df = spark.createDataFrame([(1, "POINT (1 2)")], "id int, wkt string")
-    with pytest.raises(NotImplementedError, match="shapely"):
-        full_validity(df, "wkt")
+    if HAVE_SHAPELY:
+        assert full_validity(df, "wkt", backend="shapely").collect()[0]["ogc_valid"]
+    else:
+        with pytest.raises(NotImplementedError, match="shapely"):
+            full_validity(df, "wkt", backend="shapely")
+
+
+@pytest.mark.skipif(not HAVE_SHAPELY, reason="shapely not installed")
+def test_builtin_validity_parity_with_shapely(spark):
+    """When GEOS is present it is the oracle: the built-in engine must agree
+    with shapely on the whole battery plus the tricky classes."""
+    import shapely.wkt as _w
+
+    from safedata_validator_spark.functions.geo_validity import ogc_valid_wkt
+
+    extra = [
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "POLYGON ((0 0, 2 0, 2 2, 1 0, 0 2, 0 0))",
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)))",
+        "LINESTRING (0 0, 2 2, 2 0, 0 2)",
+        "POLYGON ((0 0, 1 0, 1 0, 1 1, 0 1, 0 0))",
+    ]
+    for wkt in [w for w, _ in OGC_CASES if w] + extra:
+        try:
+            g = _w.loads(wkt)
+            expected = bool(g.is_valid) and not g.has_z
+        except Exception:
+            expected = False
+        assert ogc_valid_wkt(wkt) == expected, wkt
 
 
 # --------------------------------------------------------------------------
@@ -87,8 +118,9 @@ def tiny_png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
 def test_decode_image_real_png():
+    """Runs in EVERY environment: pillow when installed, else the built-in
+    pure-stdlib PNG codec — identical output either way."""
     import numpy as np
 
     from safedata_validator_spark.functions.multimodal import decode_image
@@ -98,29 +130,54 @@ def test_decode_image_real_png():
     assert (img == np.array([10, 200, 30], dtype=np.uint8)).all()
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
 def test_extract_features_over_real_png(spark):
-    """The mapInPandas plumbing over a REAL payload: same stage, real codec
-    (feature extraction itself stays on the surrogate path by default, so
-    this pins that a real payload flows through the schema/batch plumbing)."""
+    """The mapInPandas plumbing over a REAL payload with codec='real': the
+    pooled features are computed from the actual decoded pixels (a solid
+    (60, 120, 180) image pools to exactly those channel means)."""
     from safedata_validator_spark.functions.multimodal import extract_features
 
-    payload = tiny_png(8, 8, (1, 2, 3))
+    payload = tiny_png(8, 8, (60, 120, 180))
     media = spark.createDataFrame(
         [(1, "image", "image/png", 8, 8, None, bytearray(payload))],
         "media_id long, kind string, mime string, width int, height int, "
         "duration_ms int, payload binary",
     )
-    (row,) = extract_features(media).collect()
+    (row,) = extract_features(media, codec="real").collect()
     assert row["n_bytes"] == len(payload) and len(row["features"]) == 16
+    # flattened RGBRGB... stream pooled into 16 buckets of 12 samples each:
+    # every bucket holds 4 whole pixels, so each mean = mean(60,120,180)
+    assert all(abs(f - (60 + 120 + 180) / 3 / 255.0) < 1e-6 for f in row["features"])
 
 
-@pytest.mark.skipif(HAVE_PIL, reason="pillow installed - real branch runs")
-def test_decode_image_raises_without_pil():
+def test_decode_image_non_png_without_pil():
+    """Non-PNG payloads still need pillow; PNG no longer does."""
     from safedata_validator_spark.functions.multimodal import decode_image
 
+    if HAVE_PIL:
+        pytest.skip("pillow installed - every format decodes")
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(tiny_png(2, 2, (0, 0, 0)))
+        decode_image(b"\xff\xd8\xff\xe0 not a png")
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
+def test_builtin_png_parity_with_pil():
+    """When pillow is present it is the oracle: the built-in decoder must
+    reproduce its pixels across channel layouts and filter types."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from safedata_validator_spark.functions.png import decode_png, encode_png, to_rgb
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        for ft in range(5):
+            arr = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+            data = encode_png(arr, filter_type=ft)
+            with Image.open(io.BytesIO(data)) as im:
+                pil_rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            assert (to_rgb(decode_png(data)) == pil_rgb).all(), (ch, ft)
 
 
 def test_decode_image_surrogate_deterministic():

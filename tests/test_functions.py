@@ -232,11 +232,21 @@ def test_wkt_kind_syntax_bounds(spark):
     rows = ll.select("want", geo.lonlat_in_range(F.col("lon"), F.col("lat")).alias("got")).collect()
     assert all(r["want"] == r["got"] for r in rows)
 
-    # full OGC validity is a stubbed pandas-UDF hook while shapely is absent
-    import pytest as _pytest
+    # full OGC validity runs everywhere via the built-in pure-numpy backend
+    # (shapely, when installed, is the auto-preferred engine); forcing the
+    # shapely backend without the library is the only NotImplementedError
+    got = {r["wkt"]: r["ogc_valid"] for r in geo.full_validity(df, "wkt").collect()}
+    assert got["POINT (1.5 2.5)"] is True
+    assert got["POINT Z (1 2 3)"] is False
+    assert got["not wkt at all"] is False
+    assert got[None] is None
+    try:
+        import shapely  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        geo.full_validity(df, "wkt")
+        with _pytest.raises(NotImplementedError):
+            geo.full_validity(df, "wkt", backend="shapely")
 
 
 def test_dedup_pipelines_hand_back_their_cache(spark, docs):
