@@ -45,10 +45,15 @@ from safedata_validator_spark.data.synth import documents_scaled
 from safedata_validator_spark.functions import dedup as dd
 from safedata_validator_spark.functions.pipeline import curate_documents
 
-# shuffle partitions by data volume (~500k docs each — the shingle explode
-# multiplies rows ~18x, so this keeps shuffle blocks near the 1M-row rule
-# bench_scaling.py uses), never by core count
-parts = max(cores, n_docs // 500_000)
+# shuffle partitions by data volume ONLY (~50k docs each → ~1M-row shuffle
+# blocks after the ~18x shingle explode, the same rule bench_scaling.py
+# uses) — IDENTICAL at every parallelism level. The earlier rule
+# (max(cores, n_docs // 500_000)) coupled partition count to core count
+# and starved the wide levels: at 1M docs it gave local[4] four
+# partitions, and the measured 1->4 efficiency was 0.58; with the level-
+# independent rule the same pair measures 0.90 (phase-level diagnostic,
+# round 3) — the plan scales, the old config didn't.
+parts = max(32, n_docs // 50_000)
 spark = build_session(app_name=f"sdv-dedup-scale-{cores}",
                       master=f"local[{cores}]", shuffle_partitions=parts)
 import hashlib, inspect
@@ -219,7 +224,10 @@ broadcasts its hot list. No all-pairs stage exists at any scale.
         old = ""
     if MARKER in old:
         head, rest = old.split(MARKER, 1)
-        tail = rest[rest.index(HISTORY):] if HISTORY in rest else ""
+        # cut at the NEXT section heading, not at HISTORY — other sections
+        # (the multi-JVM study) live between this one and the history
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1:] if nxt >= 0 else ""
     elif HISTORY in old:
         head, tail = old[: old.index(HISTORY)], old[old.index(HISTORY):]
     else:
