@@ -3,8 +3,9 @@ dedup / similarity / text operators exist for: exact dedup → near-dup
 removal → language whitelist → quality floor, one declarative DataFrame
 pipeline.
 
-Scale shape: exact dedup is a bounded window over normalized-text groups
-(group size = duplicate multiplicity); near-dup pair finding defaults to
+Scale shape: exact dedup is a map-side-combined min-id aggregation plus a
+unique-key semi-join (no task ever holds a whole duplicate group, however
+large); near-dup pair finding defaults to
 the exact shingle join (SQL-oracle-checkable) and swaps to MinHash-LSH
 (``method='minhash'``) at corpus scale, where the all-pairs shingle join
 is replaced by banded candidate generation + exact verification; the
@@ -14,7 +15,7 @@ surviving rows' projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from safedata_validator_spark.functions import dedup as dd
@@ -53,13 +54,19 @@ def curate_documents(
         F.col(text_col).alias("text"),
         tx.fingerprint64(F.col(text_col)).alias("__fp"),
     )
-    w = Window.partitionBy("__fp")
+    # min-id-per-fingerprint via groupBy + composite-key semi-join, NOT a
+    # Window.partitionBy("__fp"): a window puts every copy of a duplicate
+    # group in ONE task (a viral boilerplate page duplicated millions of
+    # times = one unbounded straggler), while the aggregation gets map-side
+    # combine (shuffle volume = distinct fingerprints x 16 bytes) and the
+    # semi-join's (fp, id) key is unique per row, so hot fingerprints
+    # spread across the cluster no matter how large the group.
+    keepers = base.groupBy("__fp").agg(F.min("id").alias("id"))
     # exact_kept feeds BOTH the pair-finding stage and the survivor
-    # anti-join — persist so the source scan + fingerprint window runs
+    # anti-join — persist so the source scan + fingerprint + semi-join runs
     # once, not once per consumer (released via the cache hand-off below)
     exact_kept = (
-        base.withColumn("__keep", F.min("id").over(w))
-        .where(F.col("id") == F.col("__keep"))
+        base.join(keepers, ["__fp", "id"], "left_semi")
         .select("id", "text")
         .persist()
     )

@@ -58,6 +58,12 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = [r.asDict() for r in sdf.collect()]
         scols = sorted(sdf.columns)
+        # dedup/curation pipelines hand persisted intermediates back for
+        # caller-controlled release — free them between queries, as bench.py
+        # does, so back-to-back catalog runs don't accumulate cache
+        from safedata_validator_spark.functions.dedup import release
+
+        release(sdf)
         if name not in ORACLES:
             print(f"{name:28s} rows-only: {len(srows)} rows")
             continue
