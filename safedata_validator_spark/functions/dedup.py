@@ -66,6 +66,47 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing at least
+    ``min_hits`` distinct word n-grams with an evaluation corpus (the
+    GPT-3/PaLM-style benchmark-overlap screen) → (id, n_hits).
+
+    Scale shape: the eval corpus is tiny next to the training corpus, so
+    its distinct n-gram hashes BROADCAST and contamination detection costs
+    one map-side semi-join over the training shingles — the 100-TB side is
+    never shuffled. Set ``broadcast_eval=False`` for an unusually large
+    eval set (falls back to a shuffle join on the 8-byte hash). The n-gram
+    hash (xxhash64) stands in for the string on both sides — 16-byte rows,
+    collision odds 2^-64 per pair.
+    """
+    tr = word_shingles(train, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("__h")
+    )
+    ev = (
+        word_shingles(eval_df, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = tr.join(ev, "__h", "left_semi")
+    # word_shingles de-dups per document, so count(*) IS the distinct
+    # contaminated-shingle count — no second distinct pass needed
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
 def _hand_off_cache(out: DataFrame, cached: tuple[DataFrame, ...]) -> DataFrame:
     """Attach the pipeline's persisted intermediates to the result so the
     CALLER controls their release (mirroring ``RunResult.unpersist``,
@@ -304,6 +345,105 @@ def minhash_lsh_dedup(
     )
     out = j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
     return _hand_off_cache(out, caches + (cand, sh_c))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 32,
+) -> DataFrame:
+    """Undirected duplicate-pair edges → (id, component), component = the
+    minimum member id. Near-dup detectors emit PAIRS; corpus curation needs
+    CLUSTERS (keep one representative per transitively-connected group —
+    A~B, B~C must collapse to one kept doc even when A~C was never emitted).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    MapReduce-native algorithm: converges in O(log^2 n) rounds on ANY graph
+    shape (a chain of near-dups does not cost diameter rounds, unlike naive
+    min-label propagation), and large-star splits high-degree hubs so a
+    viral duplicate cluster never concentrates on one reducer key beyond a
+    single min() aggregation — which partial-aggregates map-side. Each
+    round is two groupBy().min() + two joins on the edge table, whose size
+    only shrinks; lineage is truncated per round with an eager
+    localCheckpoint (the same discipline as engine/hierarchy.build_closure).
+
+    Real dedup graphs (dense near-clique clusters) converge in 2-3 rounds;
+    ``max_iterations`` is a backstop, not a tuning knob. Output covers every
+    node incident to an edge — singletons are the caller's join-back.
+    """
+    # normalize: (hi > lo), no self-loops, distinct
+    a, b = F.col(id_a), F.col(id_b)
+    e = (
+        pairs.select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = (-1, None)
+    for _ in range(max_iterations):
+        # large-star: every node u links its LARGER neighbours to
+        # m = min(neighbours(u) ∪ {u}) — hubs fan out, never in
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least(F.col("u"), F.col("mv")).alias("lo"),
+            )
+            .distinct()
+        )
+        # small-star: on the (hi > lo) edges, u re-points its smaller
+        # neighbours (and itself) at m = min of its smaller neighbourhood
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        withm = large.join(mins2, "hi")
+        small = (
+            withm.select(F.col("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                withm.where(F.col("lo") != F.col("m")).select(
+                    F.col("lo").alias("hi"), F.col("m").alias("lo")
+                )
+            )
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        # converged when the edge set is stable: (count, order-insensitive
+        # checksum) — one tiny aggregate per round, no driver collect of
+        # rows. decimal(38,0) accumulator: a long sum of 64-bit hashes
+        # overflows ANSI arithmetic after a handful of rows
+        state = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
+        ).first()
+        if (state[0], state[1]) == prev:
+            break
+        prev = (state[0], state[1])
+    # fixpoint: every edge points a member directly at its component root
+    roots = e.select(F.col("lo").alias("id")).distinct().join(
+        e.select(F.col("hi").alias("id")).distinct(), "id", "left_anti"
+    )
+    return e.select(F.col("hi").alias("id"), F.col("lo").alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Duplicate-pair edges → per-cluster summary (component, n_members,
+    member_ids sorted ascending; component = min member = the conventional
+    keep id). member_ids is bounded by the cluster size — safe to collect
+    per row for dedup clusters, which curation caps anyway."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sort_array(F.collect_list("id")).alias("member_ids"),
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

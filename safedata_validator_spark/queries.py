@@ -975,8 +975,9 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_MINHASH_LSH_DOCS = f"""
-WITH toks AS (
+#: shared CTE chain producing the exact-Jaccard near-dup pair set (the SQL
+#: oracle for both the LSH pair query and the cluster query built on it)
+_JACCARD_PAIR_CTES = f"""toks AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents
@@ -994,13 +995,59 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+SQL_MINHASH_LSH_DOCS = f"""
+WITH {_JACCARD_PAIR_CTES}
 SELECT id_a, id_b,
        round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: MinHash-LSH pairs (same
+    banding soundness argument as minhash_lsh_docs) fed through alternating
+    large-star/small-star connected components
+    (functions.dedup.connected_components) → one row per transitive cluster
+    (component = min member id, n_members, sorted member_ids). The oracle
+    recomputes the exact-Jaccard pair set in SQL and closes it with a
+    recursive CTE — min-label transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+    )
+    out = dd.dup_clusters(pairs)
+    # member list rendered as CSV: engines disagree on array cell rendering
+    # (numpy vs list) but not on strings, keeping the value hash portable
+    return out.select(
+        "component", "n_members", F.array_join("member_ids", ",").alias("member_ids")
+    )
+
+
+SQL_DEDUP_CLUSTERS_DOCS = f"""
+WITH RECURSIVE {_JACCARD_PAIR_CTES}, pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+), dedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, comp) AS (
+  SELECT src, src FROM dedges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN dedges e ON e.src = r.id
+), labels AS (
+  SELECT id, min(comp) AS component FROM reach GROUP BY id
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+       array_to_string(list_sort(list(id)), ',') AS member_ids
+FROM labels GROUP BY component
 """
 
 
@@ -1113,6 +1160,186 @@ WHERE lang IN ({langs_in}) AND quality >= {CURATE_MIN_QUALITY}
 
 
 SQL_CURATE_CORPUS = _sql_curate()
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline hygiene: decontamination, PII audit, deterministic split
+# --------------------------------------------------------------------------
+
+#: eval "benchmark" slice for the decontamination gate — two of the twenty
+#: synthetic sources stand in for a held-out eval corpus
+DECON_EVAL_SOURCES = ("src0", "src1")
+DECON_N = JACCARD_N
+#: split weights for the corpus_split gate (resolved to /10_000 buckets)
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.2
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (functions.dedup.decontaminate): training
+    docs sharing ≥1 word n-gram with the eval slice, with the distinct
+    contaminated-n-gram count. Eval n-gram hashes broadcast; the training
+    side is never shuffled before the per-doc count."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("source").isin(*DECON_EVAL_SOURCES))
+    tr = d.where(~F.col("source").isin(*DECON_EVAL_SOURCES))
+    out = dd.decontaminate(tr, ev, "doc_id", "text", n=DECON_N)
+    return out.select(F.col("id").alias("doc_id"), "n_hits")
+
+
+SQL_DECONTAMINATE_DOCS = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+{DECON_N - 1}], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {DECON_N - 1})) AS i)
+  WHERE len(t) >= {DECON_N} AND shingle <> ''
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s JOIN ev USING (shingle)
+WHERE s.source NOT IN ('src0', 'src1')
+GROUP BY s.doc_id
+HAVING count(*) >= 1
+"""
+
+
+def q_pii_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrub verification (functions.pii) over a corpus
+    with deterministically injected PII (the synthetic documents carry
+    none, so the gate plants emails/IPs/phones/SSNs itself — every count
+    below has an arithmetically computable expectation). Aggregated per
+    source: docs carrying each class, total matches, and the total
+    scrubbed-length delta."""
+    from safedata_validator_spark.functions import pii
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    injected = F.when(
+        doc_id % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com"),
+            F.lit(" ip 10.0."), (doc_id % 256).cast("string"), F.lit(".17"),
+            F.lit(" call 555-867-5309 ssn 123-45-6789"),
+        ),
+    ).otherwise(F.col("text"))
+    audited = pii.pii_audit(
+        d.select("source", doc_id.alias("doc_id"), injected.alias("text")),
+        "doc_id", "text", keep=("source",),
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("int")).cast("bigint").alias("docs_with_email"),
+            F.sum("n_email").cast("bigint").alias("total_email"),
+            F.sum("n_ipv4").cast("bigint").alias("total_ipv4"),
+            F.sum("n_phone").cast("bigint").alias("total_phone"),
+            F.sum("n_ssn").cast("bigint").alias("total_ssn"),
+            F.sum("n_card").cast("bigint").alias("total_card"),
+            F.sum("chars_redacted").cast("bigint").alias("chars_redacted"),
+        )
+    )
+
+
+def _sql_pii_audit() -> str:
+    from safedata_validator_spark.functions import pii
+
+    # DuckDB single-quoted strings take backslashes literally — the Java
+    # pattern strings pass through verbatim (only quotes need doubling)
+    pats = {k: v.replace("'", "''") for k, v in pii.PII_PATTERNS.items()}
+    scrub = "coalesce(text,'')"
+    for kind in pii.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pats[kind]}', '{pii.PII_TOKENS[kind]}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(coalesce(text,''), '{pats[k]}')) AS n_{k}"
+        for k in pii.PII_PATTERNS
+    )
+    return rf"""
+WITH injected AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                || ' call 555-867-5309 ssn 123-45-6789'
+         ELSE text END AS text
+  FROM documents
+), audited AS (
+  SELECT source, doc_id, {counts},
+         length(coalesce(text,'')) - length({scrub}) AS chars_redacted
+  FROM injected
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(n_email) AS BIGINT) AS total_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS total_phone,
+       CAST(sum(n_ssn) AS BIGINT) AS total_ssn,
+       CAST(sum(n_card) AS BIGINT) AS total_card,
+       CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
+FROM audited GROUP BY source
+"""
+
+
+SQL_PII_AUDIT_DOCS = _sql_pii_audit()
+
+
+def q_corpus_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + stratified subsample
+    (functions.sampling): md5-bucket split (80/10/10) and an independent
+    20% sample, reported per (source, split) with the sampled-doc count —
+    pure row-local expressions, reproducible at any parallelism."""
+    from safedata_validator_spark.functions import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    split = sp.hash_split(d, "doc_id", weights=SPLIT_WEIGHTS)
+    base = split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    # aggregate the sample BEFORE joining: both join sides are per-stratum
+    # rollups (|sources| x |splits| rows), never the corpus itself
+    samp = (
+        sp.stratified_sample(split, "doc_id", SAMPLE_FRACTION)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return base.join(samp, ["source", "split"], "left").na.fill({"n_sampled": 0})
+
+
+def _sql_corpus_split() -> str:
+    from safedata_validator_spark.functions.sampling import BUCKETS
+
+    def bucket(salt: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+            f" % {BUCKETS})"
+        )
+
+    names = list(SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_WEIGHTS[name]
+        cases.append(f"WHEN {bucket('split')} < {int(round(acc * BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return rf"""
+WITH assigned AS (
+  SELECT source, n_chars, {case} AS split,
+         CASE WHEN {bucket('sample')} < {int(round(SAMPLE_FRACTION * BUCKETS))} THEN 1 ELSE 0 END AS in_sample
+  FROM documents
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(in_sample) AS BIGINT) AS n_sampled
+FROM assigned GROUP BY source, split
+"""
+
+
+SQL_CORPUS_SPLIT_DOCS = _sql_corpus_split()
 
 
 def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,6 +1923,10 @@ QUERIES = {
     "ogc_validity_audit": q_ogc_validity_audit,
     "png_decode_audit": q_png_decode_audit,
     "curate_corpus": q_curate_corpus,
+    "decontaminate_docs": q_decontaminate_docs,
+    "pii_audit_docs": q_pii_audit_docs,
+    "corpus_split_docs": q_corpus_split_docs,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
@@ -1716,6 +1947,10 @@ ORACLES = {
     "ogc_validity_audit": SQL_OGC_VALIDITY_AUDIT,
     "png_decode_audit": SQL_PNG_DECODE_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "pii_audit_docs": SQL_PII_AUDIT_DOCS,
+    "corpus_split_docs": SQL_CORPUS_SPLIT_DOCS,
+    "dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,
