@@ -65,6 +65,91 @@ def hash_split(
     return df.withColumn(split_col, split_assign(F.col(id_col), weights, salt))
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    part_cols: tuple[str, ...] = ("source",),
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid head-to-tail in
+    ``id_col`` order within each ``part_cols`` group and cut into training
+    sequences of ``budget`` size units — ``seq_id`` = which sequence this
+    document STARTS in (floor(start_offset / budget)), the GPT-style packing
+    rule. Adds ``seq_id`` and ``start_offset``.
+
+    Scale shape: one partitioned running-sum window — the partition key
+    bounds the window, so no global single-partition sort ever happens. At
+    100 TB pass a sharded key (e.g. ``(source, hash_bucket(id) % k)``) via
+    ``part_cols``; packing semantics are per-group by definition, so
+    sharding changes WHICH docs share a sequence, not the validity of the
+    packing."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in part_cols])
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).cast("long")
+    return df.withColumn("start_offset", start).withColumn(
+        seq_col, F.floor(F.col("start_offset") / budget).cast("long")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    target_weights: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic corpus-mixture rebalancing: downsample each stratum so
+    the surviving corpus matches ``target_weights`` proportions (Pile/Dolma
+    style source reweighting), keeping as much data as possible — the
+    stratum that would need UPsampling keeps 100% and anchors the scale.
+
+    keep_rate(s) = target(s) × K / count(s), K = min_s count(s)/target(s);
+    rows survive iff their salted md5 bucket < floor(rate × BUCKETS) — the
+    same pure-row-filter shape as ``stratified_sample``, so the result is
+    reproducible at any parallelism. Strata absent from ``target_weights``
+    are dropped (target 0).
+
+    The per-stratum counts are a tiny aggregate (|strata| rows) joined back
+    by BROADCAST — the corpus itself is scanned twice (count + filter) but
+    never shuffled."""
+    if not target_weights or any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target_weights must be non-empty and positive")
+    s = F.col(stratum_col)
+    pairs = []
+    for name, wt in target_weights.items():
+        pairs += [F.lit(name), F.lit(float(wt))]
+    target = F.create_map(*pairs)[s]
+    counts = (
+        df.select(s.alias("__stratum"), target.alias("__target"))
+        .where(F.col("__target").isNotNull())
+        .groupBy("__stratum", "__target")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    k = counts.agg(
+        F.min(F.col("__cnt") / F.col("__target")).alias("__k")
+    )
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        "__stratum",
+        F.floor(
+            (F.col("__target") * F.col("__k") / F.col("__cnt")) * BUCKETS
+        ).cast("int").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), s == F.col("__stratum"), "inner")
+        .where(hash_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__stratum", "__thr")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

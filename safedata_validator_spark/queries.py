@@ -1288,6 +1288,90 @@ FROM audited GROUP BY source
 SQL_PII_AUDIT_DOCS = _sql_pii_audit()
 
 
+#: mixture-rebalance targets for the resample gate: src0 anchors (keeps all
+#: 25 docs at uniform input), the other 15 sources are dropped. Ratios are
+#: binary-exact so Spark and DuckDB floor identical doubles.
+MIXTURE_TARGETS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0, "src4": 0.5}
+#: char budget per packed training sequence
+PACK_BUDGET = 2000
+
+
+def q_mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture rebalancing (functions.sampling.mixture_resample):
+    deterministically downsample sources to hit target mixture proportions,
+    anchored by the stratum that keeps 100%. Reported per source."""
+    from safedata_validator_spark.functions import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    out = sp.mixture_resample(d, "source", "doc_id", MIXTURE_TARGETS)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+def _sql_mixture_resample() -> str:
+    from safedata_validator_spark.functions.sampling import BUCKETS
+
+    vals = ", ".join(f"('{s}', {w})" for s, w in MIXTURE_TARGETS.items())
+    bucket = (
+        f"(('0x' || substr(md5('mixture' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {BUCKETS})"
+    )
+    return rf"""
+WITH tw(source, w) AS (VALUES {vals}),
+counts AS (
+  SELECT d.source, w, count(*) AS cnt
+  FROM documents d JOIN tw USING (source) GROUP BY d.source, w
+), kmin AS (
+  SELECT min(cnt / w) AS k FROM counts
+), rates AS (
+  SELECT source, CAST(floor((w * k / cnt) * {BUCKETS}) AS INT) AS thr
+  FROM counts, kmin
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates USING (source)
+WHERE {bucket} < thr
+GROUP BY d.source
+"""
+
+
+SQL_MIXTURE_RESAMPLE_DOCS = _sql_mixture_resample()
+
+
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (functions.sampling.pack_sequences):
+    docs laid head-to-tail per source in doc_id order, cut into
+    {PACK_BUDGET}-char sequences; rolled up per (source, seq_id). The
+    running-sum window is bounded by the source partition — no global
+    sort."""
+    from safedata_validator_spark.functions import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    packed = sp.pack_sequences(d, "doc_id", "n_chars", PACK_BUDGET, part_cols=("source",))
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("seq_chars"),
+        F.min("start_offset").alias("first_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES_DOCS = f"""
+WITH packed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS start_offset
+  FROM documents
+)
+SELECT source, CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS seq_chars,
+       min(start_offset) AS first_offset
+FROM packed GROUP BY source, seq_id
+"""
+
+
 def q_corpus_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + stratified subsample
     (functions.sampling): md5-bucket split (80/10/10) and an independent
@@ -1340,6 +1424,68 @@ FROM assigned GROUP BY source, split
 
 
 SQL_CORPUS_SPLIT_DOCS = _sql_corpus_split()
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition battery (functions.repetition): per-doc
+    top/duplicate n-gram fractions (n=2,3) and duplicate-line fractions —
+    row-local array arithmetic, zero shuffles. Value-exact over every doc."""
+    from safedata_validator_spark.functions import repetition as rp
+
+    d = _t(spark, sf_dir, "documents")
+    return rp.repetition_profile(d, "doc_id", "text", ns=(2, 3)).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_repetition() -> str:
+    norm = (
+        r"list_filter(string_split(trim(regexp_replace(regexp_replace("
+        r"lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),"
+        r" x -> x <> '')"
+    )
+    gram_cte = """g{n} AS (
+  SELECT doc_id, array_to_string(t[i:i+{m}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {m})) AS i)
+  WHERE len(t) >= {n}
+), g{n}c AS (
+  SELECT doc_id, gram, count(*) AS c FROM g{n} GROUP BY doc_id, gram
+), g{n}s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS dist, max(c) AS top
+  FROM g{n}c GROUP BY doc_id
+)"""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {norm} AS t,
+         list_filter(list_transform(string_split(coalesce(text,''), chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lines
+  FROM documents
+), linestats AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS lchars,
+         CAST(coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dlchars,
+         CAST(len(t) AS BIGINT) AS n_tokens
+  FROM toks
+), {gram_cte.format(n=2, m=1)}, {gram_cte.format(n=3, m=2)}
+SELECT l.doc_id, l.n_tokens, l.n_lines,
+       round((l.n_lines - l.n_dlines) / CAST(NULLIF(l.n_lines, 0) AS DOUBLE), 6) AS dup_line_frac,
+       round((l.lchars - l.dlchars) / CAST(NULLIF(l.lchars, 0) AS DOUBLE), 6) AS dup_line_char_frac,
+       coalesce(g2s.total, 0) AS g2_total, coalesce(g2s.dist, 0) AS g2_distinct,
+       round(g2s.top / CAST(NULLIF(g2s.total, 0) AS DOUBLE), 6) AS top2gram_frac,
+       round((g2s.total - g2s.dist) / CAST(NULLIF(g2s.total, 0) AS DOUBLE), 6) AS dup2gram_frac,
+       coalesce(g3s.total, 0) AS g3_total, coalesce(g3s.dist, 0) AS g3_distinct,
+       round(g3s.top / CAST(NULLIF(g3s.total, 0) AS DOUBLE), 6) AS top3gram_frac,
+       round((g3s.total - g3s.dist) / CAST(NULLIF(g3s.total, 0) AS DOUBLE), 6) AS dup3gram_frac
+FROM linestats l
+LEFT JOIN g2s ON g2s.doc_id = l.doc_id
+LEFT JOIN g3s ON g3s.doc_id = l.doc_id
+"""
+
+
+SQL_REPETITION_DOCS = _sql_repetition()
 
 
 def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1927,6 +2073,9 @@ QUERIES = {
     "pii_audit_docs": q_pii_audit_docs,
     "corpus_split_docs": q_corpus_split_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
+    "repetition_docs": q_repetition_docs,
+    "mixture_resample_docs": q_mixture_resample_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
@@ -1951,6 +2100,9 @@ ORACLES = {
     "pii_audit_docs": SQL_PII_AUDIT_DOCS,
     "corpus_split_docs": SQL_CORPUS_SPLIT_DOCS,
     "dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
+    "repetition_docs": SQL_REPETITION_DOCS,
+    "mixture_resample_docs": SQL_MIXTURE_RESAMPLE_DOCS,
+    "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,

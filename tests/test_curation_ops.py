@@ -136,6 +136,45 @@ def test_pii_audit_chars_redacted_zero_for_clean(spark):
     assert rows[2]["chars_redacted"] == expected_delta
 
 
+# ------------------------------------------------------------------ repetition
+
+def test_repetition_profile_hand_computed(spark):
+    from safedata_validator_spark.functions import repetition as rp
+
+    # 'a b a b a' → tokens 5; 2-grams: [a b, b a, a b, b a] → total 4,
+    # distinct 2, top 'a b' count 2 → top2=0.5, dup2=0.5
+    # lines: 'x\nx\ny' → 3 lines, 2 distinct → dup_line_frac=1/3,
+    # chars 1+1+1=3, distinct chars 2 → dup_line_char_frac=1/3
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x\nx\ny"), (3, "q w"), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in rp.repetition_profile(df, "doc_id", "text", ns=(2,)).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["g2_total"], r1["g2_distinct"]) == (5, 4, 2)
+    assert (r1["top2gram_frac"], r1["dup2gram_frac"]) == (0.5, 0.5)
+    r2 = rows[2]
+    assert r2["n_lines"] == 3
+    assert r2["dup_line_frac"] == round(1 / 3, 6)
+    assert r2["dup_line_char_frac"] == round(1 / 3, 6)
+    r3 = rows[3]  # 2 tokens → one 2-gram, no duplication
+    assert (r3["g2_total"], r3["top2gram_frac"], r3["dup2gram_frac"]) == (1, 1.0, 0.0)
+    r4 = rows[4]  # NULL text → zero tokens/lines, NULL fractions
+    assert (r4["n_tokens"], r4["n_lines"], r4["g2_total"]) == (0, 0, 0)
+    assert r4["top2gram_frac"] is None and r4["dup_line_frac"] is None
+
+
+def test_max_run_counts_mode(spark):
+    from safedata_validator_spark.functions.repetition import max_run
+
+    df = spark.createDataFrame([(["b", "a", "b", "c", "b"],), ([],)], ["arr"])
+    got = [r[0] for r in df.select(max_run(F.array_sort(F.col("arr")))).collect()]
+    assert got == [3, 0]
+
+
 # -------------------------------------------------------------------- sampling
 
 def test_hash_split_deterministic_across_partitioning(spark):
@@ -156,6 +195,47 @@ def test_hash_split_weights_approximately_hold(spark):
     assert abs(counts["train"] - 8000) < 300
     assert abs(counts["val"] - 1000) < 150
     assert abs(counts["test"] - 1000) < 150
+
+
+def test_pack_sequences_chunking(spark):
+    # per-source concat order by doc_id; budget 10: offsets 0,4,8,13 → seqs
+    # 0,0,0,1 for src A; src B independent
+    df = spark.createDataFrame(
+        [(1, "A", 4), (2, "A", 4), (3, "A", 5), (4, "A", 2), (10, "B", 11), (11, "B", 1)],
+        ["doc_id", "source", "n"],
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"])
+        for r in sp.pack_sequences(df, "doc_id", "n", 10, part_cols=("source",)).collect()
+    }
+    assert out == {1: (0, 0), 2: (4, 0), 3: (8, 0), 4: (13, 1), 10: (0, 0), 11: (11, 1)}
+    with pytest.raises(ValueError):
+        sp.pack_sequences(df, "doc_id", "n", 0)
+
+
+def test_mixture_resample_targets_and_anchor(spark):
+    # 100 docs of A, 100 of B; target 3:1 → A anchors (keeps all), B keeps
+    # ~1/3; C absent from targets → dropped entirely
+    rows = [(i, "A") for i in range(100)] + [(i + 1000, "B") for i in range(100)]
+    rows += [(i + 5000, "C") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sp.mixture_resample(df, "source", "doc_id", {"A": 3.0, "B": 1.0})
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("C") is None
+    assert counts["A"] == 100  # anchor keeps everything
+    assert abs(counts["B"] - 33) <= 15  # hash-thinned to ≈ cnt/3
+    # determinism across partitioning
+    again = sp.mixture_resample(
+        df.repartition(13), "source", "doc_id", {"A": 3.0, "B": 1.0}
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    with pytest.raises(ValueError):
+        sp.mixture_resample(df, "source", "doc_id", {})
 
 
 def test_stratified_sample_is_deterministic_subset(spark):
