@@ -1882,6 +1882,77 @@ def _stream_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER by necessity: real two-micro-batch streaming run of the
+    first-seen-wins exact dedup (streaming.dedup_stream.stream_exact_dedup).
+    Batch 0 = even doc_ids, batch 1 = odd — a duplicate whose even twin
+    arrived in batch 0 must be flagged in batch 1 via carried state. The
+    oracle replays the same decision in SQL: keeper = min (batch, doc_id)
+    per normalized content."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from safedata_validator_spark.streaming.dedup_stream import stream_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/sdv_stream_dedup_gate_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    os.makedirs(src)
+    now = None
+    for i, part in enumerate(
+        (docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1))
+    ):
+        stage = f"{root}/stage{i}"
+        part.coalesce(1).write.parquet(stage)
+        (pf,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copyfile(pf, dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stream_exact_dedup(stream, "doc_id", "text")
+    qname = "sdv_stream_dedup_gate"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(qname).collect()
+    res = spark.createDataFrame(rows, out.schema)
+    return res.select(F.col("id").alias("doc_id"), "is_dup", "keep_id")
+
+
+SQL_STREAM_DEDUP_EVENTS = r"""
+WITH normed AS (
+  SELECT doc_id, doc_id % 2 AS b,
+         trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), keepers AS (
+  SELECT norm, doc_id AS keep_id FROM (
+    SELECT norm, doc_id,
+           row_number() OVER (PARTITION BY norm ORDER BY b, doc_id) AS rn
+    FROM normed
+  ) WHERE rn = 1
+)
+SELECT n.doc_id, (n.doc_id <> k.keep_id) AS is_dup, k.keep_id
+FROM normed n JOIN keepers k USING (norm)
+"""
+
+
 def q_stream_sequence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EAGER by necessity: runs an actual two-micro-batch streaming query
     (file source, maxFilesPerTrigger=1, fresh checkpoint) and returns the
@@ -2079,6 +2150,7 @@ QUERIES = {
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
+    "stream_dedup_events": q_stream_dedup_events,
     "stream_sequence_events": q_stream_sequence_events,
     # live recall vs the exact top-k; only the floor is pinned
     "ann_recall": q_ann_recall,
@@ -2126,6 +2198,7 @@ ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "stream_sequence_events": SQL_STREAM_SEQUENCE_EVENTS,
+    "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
     "ann_recall": SQL_ANN_RECALL,
     "media_features": SQL_MEDIA_FEATURES,
     "quality_docs": SQL_QUALITY_DOCS,

@@ -220,3 +220,69 @@ def test_stateful_null_role_and_ts_state(spark, tmp_path):
     got2 = run_once()
     new = got2 - got1
     assert new == set(), f"spurious violations from carried null state: {new}"
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """First-seen-wins dedup state carries across micro-batches: doc 30's
+    content (= doc 10's) arrives in batch 2 and must be flagged a dup of
+    10; within batch 1 the keeper is the minimum id (10 keeps, 20 dups)."""
+    from safedata_validator_spark.streaming.dedup_stream import stream_exact_dedup
+
+    src = str(tmp_path / "dd_src")
+    schema = "doc_id long, text string"
+    b1 = [(10, "Same Text!"), (20, "same  text"), (11, "unique one")]
+    b2 = [(30, "SAME TEXT"), (31, "another unique")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_exact_dedup(stream, "doc_id", "text")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_gate_test")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["id"]: (r["is_dup"], r["keep_id"]) for r in spark.table("dd_gate_test").collect()}
+    # file-source batch order is mtime-based and both files land within the
+    # same mtime tick on some filesystems — accept either arrival order for
+    # the cross-batch group, but the verdict set must be internally
+    # consistent: exactly one keeper among {10, 20, 30}, dups point at it
+    keeper = min(k for k, (d, _) in got.items() if k in (10, 20, 30) and not d)
+    assert keeper == 10
+    assert got[20] == (True, 10) and got[30] == (True, 10)
+    assert got[11] == (False, 11) and got[31] == (False, 31)
+
+
+def test_drop_exact_dups_watermarked(spark, tmp_path):
+    """dropDuplicatesWithinWatermark route: duplicate content within the
+    horizon is dropped, the first arrival survives."""
+    from datetime import datetime
+
+    from safedata_validator_spark.streaming.dedup_stream import drop_exact_dups
+
+    src = str(tmp_path / "wm_src")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, "alpha beta", t0), (2, "ALPHA beta!", t0), (3, "gamma", t0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = drop_exact_dups(stream, "text", ts_col="ts", delay="5 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_gate_test")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(r["doc_id"] for r in spark.table("wm_gate_test").collect())
+    assert kept == [1, 3]
+    assert "__fp" not in spark.table("wm_gate_test").columns
