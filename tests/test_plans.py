@@ -224,7 +224,9 @@ EAGER_BY_DESIGN = {
     "hierarchy_congruence_events",
     "ivf_ann_topk",
     "stream_sequence_events",
+    "stream_dedup_events",  # runs a real two-micro-batch streaming query
     "ann_recall",
+    "dedup_clusters_docs",  # iterative star-contraction: per-round actions
 }
 
 
@@ -291,3 +293,62 @@ def test_taxon_query_dims_broadcast(spark):
         plan = _physical(QUERIES[q](spark, SF))
         assert "BroadcastHashJoin" in plan, q
         assert "SortMergeJoin" not in plan, q
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (tiny) eval n-gram set and
+    semi-join it map-side — the training side, the 100-TB one, must reach
+    the per-doc count without a join-side shuffle."""
+    from safedata_validator_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    plan = _physical(decontaminate(tr, ev, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_resample_broadcasts_rates(spark):
+    """The per-stratum rate table (|strata| rows) must broadcast back onto
+    the corpus — a shuffled join would repartition the whole corpus to
+    apply a row filter."""
+    from safedata_validator_spark.functions.sampling import mixture_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(
+        mixture_resample(docs, "source", "doc_id", {"src0": 2.0, "src1": 1.0})
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_window_is_partition_bounded(spark):
+    """The packing running-sum must hash-partition by the group key —
+    an unpartitioned window would drag the corpus into one task."""
+    from safedata_validator_spark.functions.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(pack_sequences(docs, "doc_id", "n_chars", 2000))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_row_local_curation_ops_have_no_exchange(spark):
+    """Repetition profiling, PII audit and split assignment are pure
+    projections/filters: their plans must contain NO Exchange at all —
+    the whole operator runs inside the scan's codegen stage."""
+    from safedata_validator_spark.functions import pii
+    from safedata_validator_spark.functions import repetition as rp
+    from safedata_validator_spark.functions import sampling as sp
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for frame in (
+        rp.repetition_profile(docs, "doc_id", "text"),
+        pii.pii_audit(docs, "doc_id", "text"),
+        sp.hash_split(docs, "doc_id"),
+        sp.stratified_sample(docs, "doc_id", 0.25),
+    ):
+        plan = _physical(frame)
+        assert "Exchange" not in plan, plan
