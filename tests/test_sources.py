@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from safedata_validator_spark.sources import tables
 
 
@@ -72,3 +74,63 @@ def test_load_table_csv_and_json_refs(spark, tmp_path):
         spark, f"json:{json_dir}", schema="conv_id string, turn_idx int, text string"
     )
     assert {r["turn_idx"] for r in got_json.collect()} == {1, 2}
+
+
+def _iceberg_jar_on_classpath() -> bool:
+    """Cheap jar probe usable in a skipif (no JVM needed): the Iceberg Spark
+    runtime jar in pyspark's jars dir or $SPARK_ICEBERG_JAR."""
+    import glob
+    import os
+
+    import pyspark
+
+    jar_dirs = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_ICEBERG_JAR"):
+        return os.path.exists(os.environ["SPARK_ICEBERG_JAR"])
+    return any(
+        glob.glob(os.path.join(d, "iceberg-spark-runtime*.jar")) for d in jar_dirs
+    )
+
+
+@pytest.mark.skipif(
+    not _iceberg_jar_on_classpath(),
+    reason="iceberg-spark-runtime jar not on the classpath (sandbox has no "
+    "network; drop the jar into pyspark/jars or set SPARK_ICEBERG_JAR to run)",
+)
+def test_iceberg_snapshot_roundtrip(tmp_path):
+    """LIVE Iceberg gate (VERDICT r02 §next 5): create a local
+    Hadoop-catalog table, commit two snapshots, and read the FIRST via
+    load_table(snapshot_id=...) — time travel must see one row, the
+    current read two; current_snapshot_id must return the newest id."""
+    from pyspark.sql import SparkSession
+
+    from safedata_validator_spark.sources import tables
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("sdv-iceberg-gate")
+        .config("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.it.type", "hadoop")
+        .config("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    )
+    jar = __import__("os").environ.get("SPARK_ICEBERG_JAR")
+    if jar:
+        builder = builder.config("spark.jars", jar)
+    sp = builder.getOrCreate()
+    try:
+        assert tables.iceberg_available(sp)
+        sp.sql("CREATE TABLE it.db.t (id BIGINT, v STRING) USING iceberg")
+        sp.sql("INSERT INTO it.db.t VALUES (1, 'a')")
+        first = sp.sql(
+            "SELECT snapshot_id FROM it.db.t.snapshots ORDER BY committed_at"
+        ).first()["snapshot_id"]
+        sp.sql("INSERT INTO it.db.t VALUES (2, 'b')")
+        old = tables.load_table(sp, "iceberg:it.db.t", snapshot_id=str(first))
+        assert old.count() == 1
+        cur = tables.load_table(sp, "iceberg:it.db.t")
+        assert cur.count() == 2
+        newest = tables.current_snapshot_id(sp, "iceberg:it.db.t")
+        assert newest and newest != str(first)
+    finally:
+        sp.sql("DROP TABLE IF EXISTS it.db.t PURGE")
+        sp.stop()
