@@ -36,6 +36,11 @@ PAIRS = tuple(
     if all(int(x) in LEVELS for x in pair.split("-"))
 )
 REPEATS = int(os.environ.get("SDV_BENCH_REPEATS", 2))
+JOBS = tuple(os.environ.get("SDV_BENCH_JOBS", "minhash,curate").split(","))
+#: write/refresh the BENCH/BASELINE.md section (default on for the standard
+#: two-job study; pass 0 for ad-hoc job selections so the hand-merged
+#: multi-window section is not clobbered)
+WRITE_MD = os.environ.get("SDV_BENCH_MD", "1") == "1" and JOBS == ("minhash", "curate")
 
 WORKER = r"""
 import json, sys, time
@@ -85,21 +90,34 @@ def run_curate(d):
     noop(out)
     dd.release(out)
 
+def run_decon(d):
+    # eval slice = 0.5% of the corpus (50k docs at 10M) — the realistic
+    # benchmark-suite-vs-training-corpus ratio; its distinct n-gram hashes
+    # broadcast, the training side never shuffles before the per-doc count
+    ev = d.where(d.doc_id % 200 == 0)
+    tr = d.where(d.doc_id % 200 != 0)
+    out = dd.decontaminate(tr, ev, "doc_id", "text", n=3)
+    noop(out)
+
+all_jobs = {"minhash": run_minhash, "curate": run_curate, "decon": run_decon}
+jobs = [(n, all_jobs[n]) for n in sys.argv[3].split(",")]
+
 # codegen warm-up on a slice (compile cost is fixed per JVM, identical at
 # every core count; charging it biases the ratio against high parallelism)
 warm = df.limit(50_000)
-run_minhash(warm)
-run_curate(warm)
+for _, fn in jobs:
+    fn(warm)
 
 timings = {}
-for name, fn in (("minhash", run_minhash), ("curate", run_curate)):
+for name, fn in jobs:
     t0 = time.perf_counter()
     fn(df)
     timings[name] = time.perf_counter() - t0
-print(json.dumps({"cores": cores, "minhash_sec": timings["minhash"],
-                  "curate_sec": timings["curate"],
-                  "minhash_docs_per_sec": n_docs / timings["minhash"],
-                  "curate_docs_per_sec": n_docs / timings["curate"]}))
+rec = {"cores": cores}
+for name, _ in jobs:
+    rec[f"{name}_sec"] = timings[name]
+    rec[f"{name}_docs_per_sec"] = n_docs / timings[name]
+print(json.dumps(rec))
 """
 
 MARKER = "## LLM-pipeline scaling — MinHash-LSH dedup & curation"
@@ -109,7 +127,7 @@ HISTORY = "## Measurement history"
 def run_at(cores: int) -> dict:
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(N_DOCS), str(cores)],
+        [sys.executable, "-c", WORKER, str(N_DOCS), str(cores), ",".join(JOBS)],
         capture_output=True, text=True, env=env, timeout=7200,
     )
     if out.returncode != 0:
@@ -132,7 +150,7 @@ def main() -> None:
             print(f"# round {rep} local[{c}]: {json.dumps(r)}", file=sys.stderr, flush=True)
             rd.append(r)
         rounds.append(rd)
-    jobs = ("minhash", "curate")
+    jobs = JOBS
     best = {
         (job, c): min((rd[i][f"{job}_sec"] for rd in rounds))
         for i, c in enumerate(LEVELS) for job in jobs
@@ -166,6 +184,9 @@ def main() -> None:
         "all_runs": rounds,
     }
     print(json.dumps(result))
+
+    if not WRITE_MD:
+        return
 
     lvl_rows = "\n".join(
         f"| local[{c}] | {best[('minhash', c)]:.1f} | {N_DOCS / best[('minhash', c)]:,.0f} "

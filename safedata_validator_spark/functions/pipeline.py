@@ -31,14 +31,20 @@ def curate_documents(
     near_dup_threshold: float = 0.5,
     n: int = 3,
     method: str = "exact",
+    near_dup_mode: str = "pairs",
 ) -> DataFrame:
     """Curate a document corpus for training:
 
     1. exact dedup on normalized text — the lowest id of each group survives;
     2. near-dup removal over the survivors: pairs with n-gram Jaccard ≥
        ``near_dup_threshold`` (``method``: 'exact' shingle join, or 'minhash'
-       for banded MinHash-LSH candidates + exact verification); the higher id
-       of every pair is dropped — deterministic, order-free;
+       for banded MinHash-LSH candidates + exact verification). Removal
+       semantics via ``near_dup_mode``: 'pairs' drops the higher id of every
+       pair (two docs survive iff no detector pair links them — keeps
+       members of a transitive cluster that are not directly similar);
+       'cluster' closes the pairs into connected components and keeps ONE
+       doc per component (the minimum id — the SlimPajama/Dolma-style
+       one-per-cluster rule). Both deterministic and order-free;
     3. language whitelist (``lang_id``);
     4. quality floor (``quality_score``).
 
@@ -79,7 +85,14 @@ def curate_documents(
         pairs = dd.ngram_jaccard_pairs(
             exact_kept, "id", "text", n=n, threshold=near_dup_threshold
         )
-    drop = pairs.select(F.col("id_b").alias("id")).distinct()
+    if near_dup_mode == "cluster":
+        # one survivor per transitively-connected duplicate cluster: the
+        # star-contraction output maps every member to its component min,
+        # so the drop list is every non-root member
+        cc = dd.connected_components(pairs)
+        drop = cc.where(F.col("id") != F.col("component")).select("id").distinct()
+    else:
+        drop = pairs.select(F.col("id_b").alias("id")).distinct()
     # explicit broadcast: the drop list is bounded by the near-dup pair
     # count (tiny next to the corpus), and AQE cannot replan the cached
     # exact_kept probe side (no exchange = no stage boundary), so without

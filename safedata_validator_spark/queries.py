@@ -1094,7 +1094,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_curate() -> str:
+def _sql_curate(near_dup_mode: str = "pairs") -> str:
     stop_rx = r"(?i)\b(" + "|".join(tx.STOPWORDS_EN) + r")\b"
     lang_case = """CASE
     WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -1109,8 +1109,35 @@ def _sql_curate() -> str:
         for lang, words in tx.LANG_MARKERS.items()
     )
     langs_in = ", ".join(f"'{v}'" for v in CURATE_LANGS)
+    if near_dup_mode == "cluster":
+        dropped = f"""pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {CURATE_NEARDUP_T}
+), dedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(rid, comp) AS (
+  SELECT src, src FROM dedges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN dedges e ON e.src = r.rid
+), labels AS (
+  SELECT rid, min(comp) AS component FROM reach GROUP BY rid
+), dropped AS (
+  SELECT rid AS id_b FROM labels WHERE rid <> component
+)"""
+    else:
+        dropped = f"""dropped AS (
+  SELECT DISTINCT id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {CURATE_NEARDUP_T}
+)"""
+    recursive = "RECURSIVE " if near_dup_mode == "cluster" else ""
     return rf"""
-WITH norm AS (
+WITH {recursive}norm AS (
   SELECT doc_id, text,
          trim(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
   FROM documents
@@ -1132,12 +1159,7 @@ WITH norm AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-), dropped AS (
-  SELECT DISTINCT id_b FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {CURATE_NEARDUP_T}
-), survivors AS (
+), {dropped}, survivors AS (
   SELECT doc_id, text FROM exact_kept
   WHERE doc_id NOT IN (SELECT id_b FROM dropped)
 ), scored AS (
@@ -1160,6 +1182,31 @@ WHERE lang IN ({langs_in}) AND quality >= {CURATE_MIN_QUALITY}
 
 
 SQL_CURATE_CORPUS = _sql_curate()
+SQL_CURATE_CORPUS_CLUSTER = _sql_curate(near_dup_mode="cluster")
+
+
+def q_curate_corpus_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with one-per-cluster near-dup removal
+    (near_dup_mode='cluster'): detector pairs close into connected
+    components and only each component's min id survives — vs the 'pairs'
+    gate above, members of a transitive cluster that were never directly
+    paired are now dropped too. Oracle = the same full-composition SQL
+    with a recursive-CTE closure replacing the pairwise drop list."""
+    from safedata_validator_spark.functions.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_documents(
+        d,
+        "doc_id",
+        "text",
+        min_quality=CURATE_MIN_QUALITY,
+        langs=CURATE_LANGS,
+        near_dup_threshold=CURATE_NEARDUP_T,
+        n=JACCARD_N,
+        method="exact",
+        near_dup_mode="cluster",
+    )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -2147,6 +2194,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "mixture_resample_docs": q_mixture_resample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
+    "curate_corpus_cluster": q_curate_corpus_cluster,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
@@ -2175,6 +2223,7 @@ ORACLES = {
     "repetition_docs": SQL_REPETITION_DOCS,
     "mixture_resample_docs": SQL_MIXTURE_RESAMPLE_DOCS,
     "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
+    "curate_corpus_cluster": SQL_CURATE_CORPUS_CLUSTER,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,

@@ -136,6 +136,31 @@ def test_pii_audit_chars_redacted_zero_for_clean(spark):
     assert rows[2]["chars_redacted"] == expected_delta
 
 
+# --------------------------------------------------------- curate cluster mode
+
+def test_curate_cluster_mode_drops_transitive_members(spark):
+    """pairs mode keeps docs 1 AND 2 when both only pair with 3 (never with
+    each other); cluster mode keeps only the component min (doc 1)."""
+    from safedata_validator_spark.functions.pipeline import curate_documents
+
+    # doc 3 is a near-dup bridge: shares half its shingles with 1 and the
+    # other half with 2; 1 and 2 share nothing
+    a = "alpha bravo charlie delta echo foxtrot"
+    b = "golf hotel india juliet kilo lima"
+    bridge = "alpha bravo charlie golf hotel india"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, bridge)], ["doc_id", "text"]
+    )
+    kw = dict(min_quality=0.0, langs=("und", "en", "de", "fr", "es"),
+              near_dup_threshold=0.2, n=2, method="exact")
+    pairs_kept = {r["id"] for r in curate_documents(df, **kw).collect()}
+    cluster_kept = {
+        r["id"] for r in curate_documents(df, near_dup_mode="cluster", **kw).collect()
+    }
+    assert pairs_kept == {1, 2}
+    assert cluster_kept == {1}
+
+
 # ------------------------------------------------------------------ repetition
 
 def test_repetition_profile_hand_computed(spark):
