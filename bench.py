@@ -113,7 +113,7 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     materialize(warm.violations)
     materialize(warm.verdicts)
     materialize(warm.stats)
-    warm.unpersist()
+    warm.unpersist()  # RunResult.unpersist is blocking
     # the shared host's background load drifts ±40% between minutes; the
     # flagship metric runs twice and reports the min (the standard
     # noisy-host protocol, same as bench_scaling's interleaved repeats)
@@ -126,7 +126,7 @@ def run(spark, sf_dir: str, sf: float) -> dict:
         materialize(res.verdicts)
         materialize(res.stats)
         dt = min(dt, time.perf_counter() - t0)
-        res.violations.unpersist()
+        res.violations.unpersist(blocking=True)
         res.unpersist()
         spark.catalog.clearCache()
     timings["transcript_validate"] = round(dt, 3)

@@ -176,6 +176,9 @@ def hash_prefix(spark, max_n: int) -> DataFrame:
     chunk = ((F.col("id") - 1) / _PREFIX_CHUNK).cast("long")
     if max_n <= _PREFIX_CHUNK:
         r = spark.range(1, max_n + 1)
+        # one partition is the POINT of the small path (≤ _PREFIX_CHUNK
+        # rows); WindowExec's blanket no-partition warning for it is
+        # silenced per-logger in session.build_session
         w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
         return r.select(
             F.col("id").alias("__mx"),

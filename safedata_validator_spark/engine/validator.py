@@ -54,8 +54,11 @@ class RunResult:
         )
 
     def unpersist(self) -> None:
+        # blocking: async eviction races the next run's persist() of the
+        # identical plan (bench runs validate twice) into spurious
+        # 'already cached' warnings
         for df in self.cached:
-            df.unpersist()
+            df.unpersist(blocking=True)
 
 
 class ValidationEngine:

@@ -119,11 +119,24 @@ def _hand_off_cache(out: DataFrame, cached: tuple[DataFrame, ...]) -> DataFrame:
     return out
 
 
+def carry(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Propagate a pipeline's cache hand-off through a post-processing
+    transformation: ``df.select(...)`` returns a NEW DataFrame without the
+    ``_sdv_cached`` attribute, silently turning the caller's ``release()``
+    into a no-op (measured: leaked shingle caches re-persisted by the next
+    catalog query → CacheManager 'already cached' warnings). Wrap any
+    reshaping of a pipeline result: ``carry(pipeline_out, final_df)``."""
+    return _hand_off_cache(out, tuple(getattr(src, "_sdv_cached", ())))
+
+
 def release(df: DataFrame) -> None:
     """Unpersist every intermediate a dedup/curation pipeline persisted on
-    behalf of ``df`` (no-op for frames without a cache hand-off)."""
+    behalf of ``df`` (no-op for frames without a cache hand-off). Blocking:
+    the default async eviction races a subsequent persist() of an identical
+    plan (e.g. back-to-back catalog queries sharing a shingle extraction)
+    into spurious 'Asked to cache already cached data' warnings."""
     for c in getattr(df, "_sdv_cached", ()):
-        c.unpersist()
+        c.unpersist(blocking=True)
     if hasattr(df, "_sdv_cached"):
         df._sdv_cached = ()
 
@@ -373,13 +386,39 @@ def connected_components(
     ``max_iterations`` is a backstop, not a tuning knob. Output covers every
     node incident to an edge — singletons are the caller's join-back.
     """
+    # localCheckpoint persists at the RDD level — invisible to the SQL
+    # CacheManager and to DataFrame.unpersist — so each round must evict
+    # the PREVIOUS round's checkpoint explicitly or a long-lived session
+    # accumulates one edge-table copy per iteration. Track the persistent
+    # RDD ids each eager checkpoint creates (diff around the call) and free
+    # the prior set once the new one is materialized; the FINAL checkpoint
+    # backs the returned DataFrame and is handed to the caller via
+    # release().
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _live_ids() -> set:
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    prev_cp_ids: set = set()
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        nonlocal prev_cp_ids
+        pre = _live_ids()
+        out = df.localCheckpoint(eager=True)
+        new_ids = _live_ids() - pre
+        for rid in prev_cp_ids:
+            r = jsc.getPersistentRDDs().get(rid)
+            if r is not None:
+                r.unpersist(True)
+        prev_cp_ids = new_ids
+        return out
+
     # normalize: (hi > lo), no self-loops, distinct
     a, b = F.col(id_a), F.col(id_b)
-    e = (
+    e = _ckpt(
         pairs.select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
         .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev = (-1, None)
     for _ in range(max_iterations):
@@ -411,7 +450,7 @@ def connected_components(
             )
             .distinct()
         )
-        e = small.localCheckpoint(eager=True)
+        e = _ckpt(small)
         # converged when the edge set is stable: (count, order-insensitive
         # checksum) — one tiny aggregate per round, no driver collect of
         # rows. decimal(38,0) accumulator: a long sum of 64-bit hashes
@@ -427,9 +466,26 @@ def connected_components(
     roots = e.select(F.col("lo").alias("id")).distinct().join(
         e.select(F.col("hi").alias("id")).distinct(), "id", "left_anti"
     )
-    return e.select(F.col("hi").alias("id"), F.col("lo").alias("component")).unionByName(
+    out = e.select(F.col("hi").alias("id"), F.col("lo").alias("component")).unionByName(
         roots.select("id", F.col("id").alias("component"))
     )
+    return _hand_off_cache(out, (_RddCacheHandle(jsc, prev_cp_ids),))
+
+
+class _RddCacheHandle:
+    """release()-compatible handle for RDD-level persists (localCheckpoint)
+    that the SQL CacheManager cannot see."""
+
+    def __init__(self, jsc, rdd_ids: set):
+        self._jsc = jsc
+        self._ids = set(rdd_ids)
+
+    def unpersist(self, blocking: bool = True) -> None:
+        for rid in self._ids:
+            r = self._jsc.getPersistentRDDs().get(rid)
+            if r is not None:
+                r.unpersist(blocking)
+        self._ids = set()
 
 
 def dup_clusters(
@@ -440,10 +496,13 @@ def dup_clusters(
     keep id). member_ids is bounded by the cluster size — safe to collect
     per row for dedup clusters, which curation caps anyway."""
     cc = connected_components(pairs, id_a, id_b)
-    return cc.groupBy("component").agg(
+    out = cc.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sort_array(F.collect_list("id")).alias("member_ids"),
     )
+    # carry BOTH hand-offs: the pair-producing pipeline's caches AND the
+    # contraction's final checkpoint handle
+    return carry(pairs, carry(cc, out))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -85,11 +85,13 @@ def curate_documents(
         pairs = dd.ngram_jaccard_pairs(
             exact_kept, "id", "text", n=n, threshold=near_dup_threshold
         )
+    cc_caches: tuple = ()
     if near_dup_mode == "cluster":
         # one survivor per transitively-connected duplicate cluster: the
         # star-contraction output maps every member to its component min,
         # so the drop list is every non-root member
         cc = dd.connected_components(pairs)
+        cc_caches = tuple(getattr(cc, "_sdv_cached", ()))
         drop = cc.where(F.col("id") != F.col("component")).select("id").distinct()
     else:
         drop = pairs.select(F.col("id_b").alias("id")).distinct()
@@ -119,5 +121,6 @@ def curate_documents(
     # cache plus our own exact_kept up so the caller can dd.release(out)
     # after materializing
     return dd._hand_off_cache(
-        out, tuple(getattr(pairs, "_sdv_cached", ())) + (exact_kept, enriched)
+        out,
+        tuple(getattr(pairs, "_sdv_cached", ())) + cc_caches + (exact_kept, enriched),
     )

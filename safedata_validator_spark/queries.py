@@ -329,6 +329,9 @@ def q_drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_even") / F.col("t_even")).alias("p"),
         (F.col("n_odd") / F.col("t_odd")).alias("q"),
     )
+    # the window input is the HISTOGRAM (≤ bins+2 rows, already aggregated),
+    # so one partition is correct and bounded (WindowExec's blanket warning
+    # for it is silenced per-logger in session.build_session)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cdf = probs.select(
         "p", "q", F.sum("p").over(w).alias("cp"), F.sum("q").over(w).alias("cq")
@@ -481,8 +484,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
     )
-    return pairs.select(
-        "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    return dd.carry(
+        pairs,
+        pairs.select(
+            "id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+        ),
     )
 
 
@@ -972,7 +978,9 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dd.minhash_lsh_dedup(
         d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return dd.carry(
+        out, out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 #: shared CTE chain producing the exact-Jaccard near-dup pair set (the SQL
@@ -1023,8 +1031,11 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dd.dup_clusters(pairs)
     # member list rendered as CSV: engines disagree on array cell rendering
     # (numpy vs list) but not on strings, keeping the value hash portable
-    return out.select(
-        "component", "n_members", F.array_join("member_ids", ",").alias("member_ids")
+    return dd.carry(
+        out,
+        out.select(
+            "component", "n_members", F.array_join("member_ids", ",").alias("member_ids")
+        ),
     )
 
 

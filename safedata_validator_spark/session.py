@@ -50,4 +50,30 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's blanket no-partition warning is a false positive for this
+    # engine's two deliberately-single-partition windows, which are bounded
+    # by construction BEFORE the window: the PSI/KS cumulative sum runs over
+    # an already-aggregated histogram (≤ bins+2 rows) and the expected-hash
+    # prefix's small path caps at _PREFIX_CHUNK rows (the large path is a
+    # two-phase parallel scan with no global window at all). A foldable
+    # partition key is stripped by the optimizer, so the only way to keep
+    # the log readable is to raise this one logger to ERROR. Every other
+    # window in the engine is partition-bounded and CI-pinned
+    # (tests/test_plans.py: block-bounded adjacency, packing windows).
+    # org.apache.spark.rdd.MapPartitionsRDD's only WARN is the
+    # 'locally checkpointed ... cannot be recomputed after unpersisting'
+    # notice — fired by the iterative operators' DELIBERATE eviction of the
+    # previous round's checkpoint (the next one is materialized first, so
+    # recomputation is never needed; see dedup.connected_components).
+    try:
+        jvm = spark.sparkContext._jvm
+        for name in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.rdd.MapPartitionsRDD",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                name, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the noisy warnings
     return spark

@@ -353,3 +353,29 @@ def test_row_local_curation_ops_have_no_exchange(spark):
     ):
         plan = _physical(frame)
         assert "Exchange" not in plan, plan
+
+
+def test_catalog_queries_release_all_caches(spark):
+    """The cache hand-off must survive query post-processing: after
+    materialize + release, NO persisted RDD may remain (a dropped
+    `_sdv_cached` attribute turns release() into a silent no-op and the
+    next identical pipeline re-persists the same plan — the CacheManager
+    'already cached' leak)."""
+    from safedata_validator_spark.functions.dedup import release
+    from safedata_validator_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    for name in (
+        "dedup_ngram_jaccard",
+        "minhash_lsh_docs",
+        "dedup_clusters_docs",
+        "curate_corpus",
+        "curate_corpus_cluster",
+        "decontaminate_docs",
+    ):
+        q = QUERIES[name](spark, SF)
+        q.write.mode("overwrite").format("noop").save()
+        release(q)
+        leaked = jsc.getPersistentRDDs().size()
+        assert leaked == 0, f"{name} leaked {leaked} cached RDDs after release()"
