@@ -1430,6 +1430,86 @@ FROM packed GROUP BY source, seq_id
 """
 
 
+#: blocked registrable domains for the URL-hygiene gate
+URL_BLOCKLIST = ("site1.com", "site4.com")
+
+
+def q_url_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene (functions.urls) over deterministically injected links
+    (the synthetic docs carry none): per-doc URL/host counts, the sorted
+    host list, and whether the doc survives the domain blocklist —
+    subdomains of a blocked domain are blocked too (sub.site1.com by
+    site1.com). Value-exact over every doc."""
+    from safedata_validator_spark.functions import urls
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(
+                F.lit(" see https://sub.site"), (doc_id % 7).cast("string"),
+                F.lit(".com/p"), doc_id.cast("string"),
+                F.lit(" and http://ok.example.org done"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", injected.alias("text"))
+    audit = urls.url_audit(docs, "doc_id", "text")
+    blocklist = spark.createDataFrame(
+        [(b,) for b in URL_BLOCKLIST], "domain string"
+    )
+    kept = urls.filter_blocked_domains(docs, "doc_id", "text", blocklist).select(
+        "doc_id", F.lit(True).alias("survived")
+    )
+    return (
+        audit.withColumnRenamed("id", "doc_id")
+        .join(kept, "doc_id", "left")
+        .na.fill({"survived": False})
+    )
+
+
+def _sql_url_audit() -> str:
+    from safedata_validator_spark.functions.urls import URL_PATTERN
+
+    bl = ", ".join(f"('{b}')" for b in URL_BLOCKLIST)
+    pat = URL_PATTERN.replace("'", "''")
+    return rf"""
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN
+           ' see https://sub.site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/p' || CAST(doc_id AS VARCHAR)
+           || ' and http://ok.example.org done'
+         ELSE '' END AS text
+  FROM documents
+), bl(domain) AS (VALUES {bl}),
+extracted AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text,''), '{pat}') AS urls
+  FROM injected
+), hosts AS (
+  SELECT doc_id,
+         list_distinct(list_transform(urls,
+           u -> lower(regexp_extract(u, 'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1)))) AS hosts,
+         len(urls) AS n_urls
+  FROM extracted
+), blocked AS (
+  SELECT DISTINCT h.doc_id
+  FROM hosts h, UNNEST(h.hosts) AS t(host), bl
+  WHERE t.host = bl.domain OR t.host LIKE '%.' || bl.domain
+)
+SELECT h.doc_id, CAST(h.n_urls AS INT) AS n_urls,
+       CAST(len(h.hosts) AS INT) AS n_hosts,
+       coalesce(array_to_string(list_sort(h.hosts), ','), '') AS hosts,
+       (b.doc_id IS NULL) AS survived
+FROM hosts h LEFT JOIN blocked b ON b.doc_id = h.doc_id
+"""
+
+
+SQL_URL_AUDIT_DOCS = _sql_url_audit()
+
+
 def q_corpus_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + stratified subsample
     (functions.sampling): md5-bucket split (80/10/10) and an independent
@@ -2206,6 +2286,7 @@ QUERIES = {
     "mixture_resample_docs": q_mixture_resample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "curate_corpus_cluster": q_curate_corpus_cluster,
+    "url_audit_docs": q_url_audit_docs,
     # value-gated against a hard-coded golden VALUES table (deterministic run)
     "transcript_verdicts": q_transcript_verdicts,
     # stateful streaming == batch SQL (two real micro-batches, carried state)
@@ -2235,6 +2316,7 @@ ORACLES = {
     "mixture_resample_docs": SQL_MIXTURE_RESAMPLE_DOCS,
     "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
     "curate_corpus_cluster": SQL_CURATE_CORPUS_CLUSTER,
+    "url_audit_docs": SQL_URL_AUDIT_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "unique_key_orders": SQL_UNIQUE_KEY_ORDERS,
     "sequential_lineitem": SQL_SEQUENTIAL_LINEITEM,

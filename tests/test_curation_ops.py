@@ -274,3 +274,50 @@ def test_stratified_sample_is_deterministic_subset(spark):
         sp.stratified_sample(df, "doc_id", 1.5)
     with pytest.raises(ValueError):
         sp.split_assign(F.col("doc_id"), {})
+
+
+# ------------------------------------------------------------------------ urls
+
+def test_url_extraction_and_hosts(spark):
+    from safedata_validator_spark.functions import urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://Sub.Example.COM/x?a=1 or http://other.org."),
+            (2, "no links here"),
+            (3, None),
+        ],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r for r in urls.url_audit(df, "id", "t").collect()}
+    assert rows[1]["n_urls"] == 2 and rows[1]["n_hosts"] == 2
+    # hosts lowercased; the sentence-final '.' after a bare host not eaten
+    assert rows[1]["hosts"] == "other.org,sub.example.com"
+    assert rows[2]["n_urls"] == 0 and rows[2]["hosts"] == ""
+    assert rows[3]["n_urls"] == 0
+
+
+def test_host_suffixes_and_blocklist_subdomains(spark):
+    from safedata_validator_spark.functions import urls
+
+    sfx = spark.range(1).select(
+        urls.host_suffixes(F.lit("a.b.example.com")).alias("s")
+    ).first()["s"]
+    assert sfx == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "link https://ads.tracker.net/x"),
+            (2, "link https://tracker.net/y"),
+            (3, "link https://nettracker.net/z"),
+            (4, "clean doc"),
+        ],
+        ["id", "t"],
+    )
+    bl = spark.createDataFrame([("tracker.net",)], ["domain"])
+    kept = {
+        r["id"]
+        for r in urls.filter_blocked_domains(docs, "id", "t", bl).collect()
+    }
+    # subdomain and exact host blocked; 'nettracker.net' is NOT a subdomain
+    assert kept == {3, 4}

@@ -379,3 +379,18 @@ def test_catalog_queries_release_all_caches(spark):
         release(q)
         leaked = jsc.getPersistentRDDs().size()
         assert leaked == 0, f"{name} leaked {leaked} cached RDDs after release()"
+
+
+def test_url_blocklist_filter_broadcasts_both_sides(spark):
+    """Domain filtering must broadcast the blocklist AND the offender id
+    list — the corpus itself is never shuffled; and the per-doc URL audit
+    is a pure projection (no Exchange)."""
+    from safedata_validator_spark.functions import urls
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    plan = _physical(urls.filter_blocked_domains(docs, "doc_id", "text", bl))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    audit_plan = _physical(urls.url_audit(docs, "doc_id", "text"))
+    assert "Exchange" not in audit_plan
