@@ -60,9 +60,27 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     from safedata_validator_spark.queries import QUERIES
     from safedata_validator_spark.rules.presets import transcript_ruleset
 
-    # JVM/codegen warm-up so the first timed query isn't charged for it
+    # JVM/codegen warm-up so the first timed query isn't charged for it.
+    # The dedup/doc pipelines get their own warm pass over a tiny slice:
+    # their generated classes (normalize/shingle/signature codegen) are
+    # disjoint from the relational queries', and with self-contained cache
+    # release (round 3) no timed query inherits a predecessor's warm cache
+    # — so without this, the first dedup timing would measure the compiler
+    # (same rationale as the validate warm-up below; compile cost is fixed
+    # per JVM and amortizes to nothing at production scale)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     materialize(QUERIES["pricing_summary"](spark, sf_dir))
+    from safedata_validator_spark.functions import dedup as _dd
+
+    docs_slice = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    for warm_fn in (
+        lambda d: _dd.minhash_lsh_dedup(d, "doc_id", "text", max_df=20),
+        lambda d: _dd.ngram_jaccard_pairs(d, "doc_id", "text", max_df=20),
+        lambda d: _dd.simhash_near_pairs(d, "doc_id", "text"),
+    ):
+        w = warm_fn(docs_slice)
+        materialize(w)
+        _dd.release(w)
 
     timings: dict[str, float] = {}
 
