@@ -71,17 +71,26 @@ if df is None:
     base.unionByName(path).repartition(64).write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
 
+stats = {}
 def run_cc(d):
-    out = connected_components(d)
+    out = connected_components(d, stats=stats)
     out.write.mode("overwrite").format("noop").save()
+
+def jobs_so_far():
+    try:
+        return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    except Exception:
+        return -1
 
 # warm-up slice: codegen + checkpoint machinery
 run_cc(df.limit(100_000))
 
+j0 = jobs_so_far()
 t0 = time.perf_counter()
 run_cc(df)
 dt = time.perf_counter() - t0
-print(json.dumps({"cores": cores, "cc_sec": dt, "edges_per_sec": n_edges / dt}))
+print(json.dumps({"cores": cores, "cc_sec": dt, "edges_per_sec": n_edges / dt,
+                  "rounds": stats.get("rounds"), "spark_jobs": jobs_so_far() - j0}))
 """
 
 

@@ -365,6 +365,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 32,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected duplicate-pair edges → (id, component), component = the
     minimum member id. Near-dup detectors emit PAIRS; corpus curation needs
@@ -390,10 +391,14 @@ def connected_components(
     # CacheManager and to DataFrame.unpersist — so each round must evict
     # the PREVIOUS round's checkpoint explicitly or a long-lived session
     # accumulates one edge-table copy per iteration. Track the persistent
-    # RDD ids each eager checkpoint creates (diff around the call) and free
-    # the prior set once the new one is materialized; the FINAL checkpoint
-    # backs the returned DataFrame and is handed to the caller via
-    # release().
+    # RDD ids each checkpoint creates (diff around the localCheckpoint
+    # call) and free the prior set once the new one is materialized; the
+    # FINAL checkpoint backs the returned DataFrame and is handed to the
+    # caller via release(). The diff assumes no OTHER thread persists RDDs
+    # on this SparkSession during the (microsecond) window around the
+    # localCheckpoint call — a concurrent persist would be captured into
+    # the eviction set. Validation runs drive one contraction at a time,
+    # so the assumption holds by construction here.
     jsc = pairs.sparkSession.sparkContext._jsc
 
     def _live_ids() -> set:
@@ -401,26 +406,44 @@ def connected_components(
 
     prev_cp_ids: set = set()
 
-    def _ckpt(df: DataFrame) -> DataFrame:
+    def _ckpt(df: DataFrame, with_state: bool = False):
+        """Checkpoint *df*, evict the previous round's checkpoint, and
+        (optionally) compute the convergence state. With ``with_state`` the
+        checkpoint is LAZY and the convergence aggregate itself is the
+        materializing action, so each contraction round runs exactly ONE
+        Spark job — checkpoint persist and (count, checksum) in the same
+        pass over the data — instead of a materialize-job plus an agg-job.
+        Eviction of the previous round happens only AFTER the new
+        checkpoint is fully materialized, so no recompute is ever needed.
+        """
         nonlocal prev_cp_ids
         pre = _live_ids()
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=not with_state)
         new_ids = _live_ids() - pre
+        state = None
+        if with_state:
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows ANSI arithmetic after a handful of rows
+            state = out.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
+            ).first()
         for rid in prev_cp_ids:
             r = jsc.getPersistentRDDs().get(rid)
             if r is not None:
                 r.unpersist(True)
         prev_cp_ids = new_ids
-        return out
+        return out, state
 
     # normalize: (hi > lo), no self-loops, distinct
     a, b = F.col(id_a), F.col(id_b)
-    e = _ckpt(
+    e, _ = _ckpt(
         pairs.select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
         .where(F.col("hi") != F.col("lo"))
         .distinct()
     )
     prev = (-1, None)
+    rounds = 0
     for _ in range(max_iterations):
         # large-star: every node u links its LARGER neighbours to
         # m = min(neighbours(u) ∪ {u}) — hubs fan out, never in
@@ -450,18 +473,16 @@ def connected_components(
             )
             .distinct()
         )
-        e = _ckpt(small)
         # converged when the edge set is stable: (count, order-insensitive
-        # checksum) — one tiny aggregate per round, no driver collect of
-        # rows. decimal(38,0) accumulator: a long sum of 64-bit hashes
-        # overflows ANSI arithmetic after a handful of rows
-        state = e.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
-        ).first()
+        # checksum). The lazy-checkpoint + state aggregate is ONE job per
+        # round; no driver collect of rows.
+        e, state = _ckpt(small, with_state=True)
+        rounds += 1
         if (state[0], state[1]) == prev:
             break
         prev = (state[0], state[1])
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint: every edge points a member directly at its component root
     roots = e.select(F.col("lo").alias("id")).distinct().join(
         e.select(F.col("hi").alias("id")).distinct(), "id", "left_anti"

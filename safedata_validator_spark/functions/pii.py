@@ -2,7 +2,7 @@
 
 Detects emails, IPv4 addresses, US-style phone numbers, SSN-shaped ids and
 16-digit card-shaped numbers in a text column, and rewrites each match to a
-typed placeholder token (``<EMAIL>``, ``<IP>``, ...). Regex-only — a
+typed placeholder token (``<EMAIL>``, ``<IPV4>``, ...). Regex-only — a
 heuristic pre-filter of the kind every large corpus pipeline runs before
 training, not a compliance guarantee.
 

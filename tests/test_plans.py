@@ -357,15 +357,28 @@ def test_row_local_curation_ops_have_no_exchange(spark):
 
 def test_catalog_queries_release_all_caches(spark):
     """The cache hand-off must survive query post-processing: after
-    materialize + release, NO persisted RDD may remain (a dropped
-    `_sdv_cached` attribute turns release() into a silent no-op and the
-    next identical pipeline re-persists the same plan — the CacheManager
-    'already cached' leak)."""
+    materialize + release, NO persisted RDD introduced BY THE QUERY may
+    remain (a dropped `_sdv_cached` attribute turns release() into a silent
+    no-op and the next identical pipeline re-persists the same plan — the
+    CacheManager 'already cached' leak).
+
+    Flake discipline: asserts the persistent-RDD DELTA around each query
+    (ids snapshot before, subtracted after) rather than a global zero, so a
+    stray persist left by an unrelated earlier test cannot fail this one;
+    and polls briefly after the blocking unpersist because the driver-side
+    persistentRdds registry update can trail the unpersist call by a beat
+    under load."""
+    import time
+
     from safedata_validator_spark.functions.dedup import release
     from safedata_validator_spark.queries import QUERIES
 
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
+
+    def _ids() -> set:
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
     for name in (
         "dedup_ngram_jaccard",
         "minhash_lsh_docs",
@@ -374,11 +387,18 @@ def test_catalog_queries_release_all_caches(spark):
         "curate_corpus_cluster",
         "decontaminate_docs",
     ):
+        before = _ids()
         q = QUERIES[name](spark, SF)
         q.write.mode("overwrite").format("noop").save()
         release(q)
-        leaked = jsc.getPersistentRDDs().size()
-        assert leaked == 0, f"{name} leaked {leaked} cached RDDs after release()"
+        deadline = time.monotonic() + 10.0
+        leaked = _ids() - before
+        while leaked and time.monotonic() < deadline:
+            time.sleep(0.2)
+            leaked = _ids() - before
+        assert not leaked, (
+            f"{name} leaked persisted RDD ids {sorted(leaked)} after release()"
+        )
 
 
 def test_url_blocklist_filter_broadcasts_both_sides(spark):
