@@ -54,6 +54,28 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def host_probe(procs: int) -> dict:
+    """Same-instant hardware probes (the drift-normalization protocol from
+    bench_scaling.py, reduced to ABSOLUTE wall times): a register-bound spin
+    and a 100MB-streaming sum, both at the bench's own parallelism. The
+    shared host drifts up to ~2.4x between windows; quoting these alongside
+    every bench run lets two rounds' numbers be compared on the same scale
+    (normalize by stream_sec — Spark scan/shuffle work is bandwidth-bound)."""
+    import multiprocessing as mp
+
+    from bench_scaling import _spin, _stream
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_spin, [30_000_000] * procs)
+    spin = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as p:
+        p.map(_stream, range(procs))
+    stream = time.perf_counter() - t0
+    return {"procs": procs, "spin_sec": round(spin, 3), "stream_sec": round(stream, 3)}
+
+
 def run(spark, sf_dir: str, sf: float) -> dict:
     from safedata_validator_spark.data.synth import dims, transcripts_scaled
     from safedata_validator_spark.engine.validator import ValidationEngine
@@ -187,12 +209,14 @@ def main() -> None:
 
     from safedata_validator_spark.session import build_session
 
+    probe_before = host_probe(int(cpus))
     spark = build_session(
         app_name="sdv-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
     out = run(spark, sf_dir, sf)
+    probe_after = host_probe(int(cpus))
     total = round(sum(out["timings"].values()), 3)
     print(
         json.dumps(
@@ -207,6 +231,8 @@ def main() -> None:
                 "turns_per_sec": round(out["n_turns"] / out["validate_sec"], 1),
                 "validated_turns": out["n_turns"],
                 "cpus": int(cpus),
+                "host_probe_before": probe_before,
+                "host_probe_after": probe_after,
             }
         )
     )

@@ -1626,6 +1626,17 @@ LEFT JOIN g3s ON g3s.doc_id = l.doc_id
 SQL_REPETITION_DOCS = _sql_repetition()
 
 
+def q_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-accurate byte-level BPE token counts per document (pinned
+    merges table, functions/bpe_vocab.py) next to the cheap regex estimate.
+    Golden VALUES oracle: the independent rank-order BPE formulation in
+    tools/purepy_ref.py (DuckDB cannot express iterative pair merging)."""
+    from safedata_validator_spark.functions.bpe import token_count_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return token_count_exact(d, "doc_id", "text")
+
+
 def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap pairs (MOSS-style local-similarity
     detection): docs sharing ≥ min_common selected k-gram hashes. Explode +
@@ -2294,6 +2305,8 @@ QUERIES = {
     "stream_sequence_events": q_stream_sequence_events,
     # live recall vs the exact top-k; only the floor is pinned
     "ann_recall": q_ann_recall,
+    # pinned golden VALUES oracle (independent purepy_ref BPE)
+    "token_count_docs": q_token_count_docs,
     # rows-only (non-SQL-expressible: hash-seeded signatures / engine-native)
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "simhash_docs": q_simhash_docs,

@@ -31,6 +31,8 @@ PINNED_SF = "sf0.01"
 def _fmt(v) -> str:
     if isinstance(v, float):
         return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
     return str(v)
 
 
@@ -81,6 +83,16 @@ def main() -> int:
     expected["lsh_ann_topk"] = (
         [(q, v, round(s, 4), r) for q, v, s, r in ref.lsh_topk(vecs, query_ids, k=5, nbits=8)],
         [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("sim", "DOUBLE"), ("rank", "INTEGER")],
+    )
+    from safedata_validator_spark.functions.bpe_vocab import MERGES
+
+    expected["token_count_docs"] = (
+        ref.bpe_token_counts(docs, MERGES),
+        [
+            ("doc_id", "VARCHAR"),
+            ("n_bpe_tokens", "INTEGER"),
+            ("n_regex_tokens", "INTEGER"),
+        ],
     )
     expected["ivf_ann_topk"] = (
         [
