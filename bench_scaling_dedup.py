@@ -79,7 +79,11 @@ def noop(frame):
     frame.write.mode("overwrite").format("noop").save()
 
 def run_minhash(d):
-    out = dd.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5, max_df=10_000)
+    # adaptive_cut: the scale path — the hot-list aggregation still runs
+    # (and is timed), but the |shingles|-row repack shuffle is skipped when
+    # that aggregation proves no shingle exceeds max_df
+    out = dd.minhash_lsh_dedup(d, "doc_id", "text", threshold=0.5, max_df=10_000,
+                               adaptive_cut=True)
     noop(out)
     dd.release(out)
 

@@ -224,6 +224,48 @@ def minhash_signatures(
     return signatures_from_shingles(word_shingles(df, id_col, text_col, n), num_perm)
 
 
+def shingle_hash_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, hs: array<bigint>) — each document's DISTINCT word n-gram
+    shingle hashes as ONE compact array row, computed entirely row-locally
+    (no explode, no shuffle). This is the 10×-fewer-rows representation the
+    minhash pipeline persists instead of the exploded (id, __h) table: at
+    10M docs the exploded form is ~180M cached rows (and round 3 cached it
+    TWICE, raw + cut), whose storage pressure starved execution memory and
+    spilled the signature aggregation — the measured cause of the 10M-doc
+    1→4 scaling miss (BENCH/dedup_window_10M.json). Exploded views derive
+    from this cache row-locally wherever a consumer needs rows."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    length = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, F.greatest(length, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    sh = F.when(F.size(toks) >= n, F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(
+        F.filter(F.array_distinct(sh), lambda x: x != ""),
+        lambda s: F.xxhash64(s),
+    )
+    return df.select(F.col(id_col).alias("id"), hs.alias("hs"))
+
+
+def signatures_from_hash_arrays(packed: DataFrame, num_perm: int = 64) -> DataFrame:
+    """MinHash signatures as a ROW-LOCAL projection over (id, hs) hash
+    arrays: num_perm × array_min(transform(hs, h -> xxhash64(h, p))) — the
+    zero-shuffle replacement for the former 64-min-column groupBy over the
+    exploded shingle table. Identical values (same per-permutation hash, a
+    min is order-insensitive); what changes is the execution shape: no
+    per-partition 64×8-byte-per-id aggregation hash tables (which overflowed
+    and sort-spilled at 180M input rows), no shuffle at all — signatures
+    pipeline into the banding projection inside one codegen stage."""
+    sig = F.array(*[
+        F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(p))))
+        for p in range(num_perm)
+    ])
+    return packed.select("id", sig.alias("signature"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -267,7 +309,13 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select("id", F.explode(F.array(*buckets_of)).alias("bucket")).persist()
+    # persist the COMPACT per-doc bucket array (|docs| rows), not the
+    # exploded banded table (|docs|×bands rows): both consumers (the
+    # colliding-bucket aggregation and the self-join sides) explode it
+    # row-locally from cache — same rows computed, bands× less cache
+    # pressure (the round-3 banded cache was 160M rows at 10M docs)
+    bucketed = signatures.select("id", F.array(*buckets_of).alias("bks")).persist()
+    banded = bucketed.select("id", F.explode("bks").alias("bucket"))
     colliding = (
         banded.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -285,7 +333,7 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _hand_off_cache(out, (banded,))
+    return _hand_off_cache(out, (bucketed,))
 
 
 def minhash_lsh_dedup(
@@ -297,6 +345,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     max_df: int | None = None,
+    adaptive_cut: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banded signatures,
     verified with exact Jaccard over the shingle sets →
@@ -304,45 +353,71 @@ def minhash_lsh_dedup(
     join runs on the (small) candidate set, not all pairs. ``max_df`` drops
     boilerplate shingles before signing AND verifying (the same frequency cut
     as ``ngram_jaccard_pairs`` — a stopword-run shingle on a real corpus
-    otherwise dominates every signature)."""
-    # raw extraction persisted once as (id, 64-bit shingle hash) — the
-    # string never leaves the extraction stage (see ngram_jaccard_pairs for
-    # the collision trade); the cut's hot list broadcasts — consumers:
-    # signatures, sizes, both verify hops
-    sh_raw = (
-        word_shingles(df, id_col, text_col, n)
-        .select("id", F.xxhash64("shingle").alias("__h"))
+    otherwise dominates every signature).
+
+    Memory shape (the round-3 10M-doc spill fix): the pipeline persists the
+    COMPACT (id, hs array) form — ~|docs| rows — never the exploded
+    |shingles|-row table (which round 3 cached twice, raw + cut, starving
+    execution memory into sort-spill at 180M rows); and signatures are a
+    row-local array projection (``signatures_from_hash_arrays``), not a
+    64-min-column aggregation. The only |shingles|-row shuffle left is the
+    frequency-cut repack, and ``adaptive_cut=True`` skips even that when the
+    hot-list aggregation (which must run anyway) proves the cut is a no-op —
+    the common case on real corpora with a sane ``max_df``. The probe is one
+    tiny driver action, so the default stays False: catalog plan-building
+    must stay job-free (tests/test_plans.py); scale runs opt in."""
+    arr = (
+        shingle_hash_array(df, id_col, text_col, n)
+        .where(F.size("hs") > 0)
         .persist()
     )
-    sh = sh_raw
-    caches: tuple[DataFrame, ...] = (sh_raw,)
+    caches: tuple[DataFrame, ...] = (arr,)
+    packed = arr
     if max_df is not None:
-        hot = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        # the CUT table is persisted too: it feeds the signature aggregation
-        # AND the verify semi-filter as separate cache reads — without this,
-        # every consumer re-runs the hot-list aggregation (a full-table
-        # groupBy) because the broadcast exchange is only reused within one
-        # action
-        sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti").persist()
-        caches = caches + (sh,)
-    sig = signatures_from_hashes(sh, num_perm)
+        exploded = arr.select("id", F.explode("hs").alias("__h"))
+        hot = (
+            exploded.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("__h")
+        )
+        repack = True
+        if adaptive_cut:
+            hot = hot.persist()
+            caches = caches + (hot,)
+            repack = hot.limit(1).count() > 0
+        if repack:
+            # cut + repack: the one remaining |shingles|-row shuffle; light
+            # 8-byte rows, collect_list buffers bounded by partition input
+            packed = (
+                exploded.join(F.broadcast(hot), "__h", "left_anti")
+                .groupBy("id")
+                .agg(F.collect_list("__h").alias("hs"))
+                .persist()
+            )
+            caches = caches + (packed,)
+    sig = signatures_from_hash_arrays(packed, num_perm)
     # candidates are tiny relative to the corpus (they're the point of LSH),
     # and the verify stage consumes them twice (member list + pair join) —
     # persist so the signature/banding pipeline runs exactly once
     cand = lsh_candidate_pairs(sig, bands, num_perm=num_perm)
     caches = caches + tuple(getattr(cand, "_sdv_cached", ()))
     cand = cand.persist()
-    # semi-filter the shingle table down to candidate-pair MEMBERS before
-    # any verify work: without this, both verify hops and the sizes agg
+    # semi-filter down to candidate-pair MEMBERS before any verify work —
+    # on the COMPACT packed table (|docs| rows), exploding only the
+    # members afterwards: without this, both verify hops and the sizes agg
     # each shuffle the full |shingles| table to serve a candidate set many
     # orders of magnitude smaller (measured: 50s → ~7s of a 100s pipeline
-    # at 1M docs). Explicit broadcast — AQE cannot replan the cached-scan
+    # at 1M docs). Explicit broadcast — AQE cannot replan a cached-scan
     # probe side (no exchange = no stage boundary); the member list is
     # 2×|candidate pairs| ids, bounded by the near-dup volume, not the
     # corpus.
     members = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    sh_c = sh.join(F.broadcast(members), "id", "left_semi").persist()
-    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    packed_c = packed.join(F.broadcast(members), "id", "left_semi")
+    # sizes are a row-local projection of the packed array — the former
+    # per-id count aggregation is gone
+    sizes = packed_c.select("id", F.size("hs").cast("bigint").alias("n_sh"))
+    sh_c = packed_c.select("id", F.explode("hs").alias("__h")).persist()
     # equi-join on (id, __h) both hops — the shingle hash is IN the join
     # key, so each candidate pair costs |A∩B| joined rows, not |A|×|B|
     common = (

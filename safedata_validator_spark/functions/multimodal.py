@@ -47,10 +47,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
     Real path: PIL (pillow) when importable — any format PIL reads, coerced
-    to RGB. Without pillow, PNG payloads still decode for real through the
-    built-in pure-stdlib codec (``functions.png``: chunk framing + zlib
-    inflate + numpy unfiltering — parity with PIL pinned in
-    tests/test_env_gated.py); non-PNG payloads without pillow raise
+    to RGB. Without pillow, PNG payloads decode for real through the
+    built-in pure-stdlib codec (``functions.png``) and baseline JPEG
+    payloads through the built-in T.81 codec (``functions.jpeg``: Huffman +
+    dequant + IDCT + 4:4:4/4:2:0/4:2:2 upsample; parity with PIL pinned in
+    tests/test_env_gated.py); other formats without pillow raise
     NotImplementedError. ``fake=True`` produces a deterministic 8x8x3
     surrogate derived from the payload digest, so hash-seeded golden plans
     stay payload-keyed and environment-independent.
@@ -62,14 +63,17 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     try:
         from PIL import Image
     except ImportError:
+        from safedata_validator_spark.functions import jpeg as _jpeg
         from safedata_validator_spark.functions import png as _png
 
         if _png.is_png(payload or b""):
             return np.ascontiguousarray(_png.to_rgb(_png.decode_png(payload)))
+        if _jpeg.is_jpeg(payload or b""):
+            return np.ascontiguousarray(_jpeg.to_rgb(_jpeg.decode_jpeg(payload)))
         raise NotImplementedError(
-            "non-PNG image codec (pillow) not available in this environment; "
-            "PNG decodes via the built-in codec, or pass fake=True for the "
-            "deterministic surrogate"
+            "image codec (pillow) not available in this environment; PNG and "
+            "baseline JPEG decode via the built-in codecs, or pass fake=True "
+            "for the deterministic surrogate"
         )
     import io
 

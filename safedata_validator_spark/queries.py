@@ -1910,6 +1910,85 @@ FROM p
 """
 
 
+_JPEG_AUDIT_DOCS = 120
+
+
+def q_jpeg_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode audit over the built-in baseline T.81 codec
+    (functions/jpeg.py): per doc, synthesize a flat image (grayscale /
+    equal-channel RGB at 4:4:4 / equal-channel RGB at 4:2:0), encode at
+    quality=100 and decode through the SAME multimodal entry point the
+    pipeline uses. Flat q100 streams decode EXACTLY (all-ones quant tables;
+    equal channels put Cb=Cr at precisely 128, so the color roundtrip is
+    integer-exact), which makes pixel statistics arithmetically derivable —
+    the DuckDB oracle recomputes them from the doc id alone. Gates markers,
+    Huffman tables both directions, DC coding, the 4:2:0 MCU interleave +
+    upsample, color conversion, and odd-size cropping; the AC/noise path is
+    unit-gated in tests/test_builtin_codecs.py."""
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _JPEG_AUDIT_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def per_batch(it):
+        import numpy as _np
+
+        from safedata_validator_spark.functions.jpeg import encode_jpeg
+        from safedata_validator_spark.functions.multimodal import decode_image
+
+        for pdf in it:
+            ids, n_px, mean_px, min_px, max_px = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                v = (i * 53) % 256
+                w, h = i % 7 + 3, i % 5 + 2
+                layout = i % 3  # 0=gray, 1=RGB 4:4:4, 2=RGB 4:2:0
+                if layout == 0:
+                    arr = _np.full((h, w), v, _np.uint8)
+                    payload = encode_jpeg(arr, quality=100)
+                else:
+                    arr = _np.full((h, w, 3), v, _np.uint8)
+                    payload = encode_jpeg(
+                        arr, quality=100, subsample="444" if layout == 1 else "420"
+                    )
+                img = decode_image(payload)
+                ids.append(i)
+                n_px.append(int(img.size))
+                mean_px.append(round(float(img.mean()), 6))
+                min_px.append(int(img.min()))
+                max_px.append(int(img.max()))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "n_px": n_px, "mean_px": mean_px,
+                 "min_px": min_px, "max_px": max_px}
+            )
+
+    return d.mapInPandas(
+        per_batch,
+        schema="doc_id long, n_px int, mean_px double, min_px int, max_px int",
+    )
+
+
+SQL_JPEG_DECODE_AUDIT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         (CAST(doc_id AS BIGINT) * 53) % 256 AS v,
+         CAST(doc_id AS BIGINT) % 7 + 3 AS w,
+         CAST(doc_id AS BIGINT) % 5 + 2 AS h
+  FROM documents WHERE doc_id < {_JPEG_AUDIT_DOCS}
+)
+SELECT i AS doc_id,
+       -- decode_image coerces to RGB: grayscale replicates to 3 channels
+       CAST(w * h * 3 AS INT) AS n_px,
+       round(CAST(v AS DOUBLE), 6) AS mean_px,
+       CAST(v AS INT) AS min_px,
+       CAST(v AS INT) AS max_px
+FROM p
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -2288,6 +2367,7 @@ QUERIES = {
     "wkt_geo_audit": q_wkt_geo_audit,
     "ogc_validity_audit": q_ogc_validity_audit,
     "png_decode_audit": q_png_decode_audit,
+    "jpeg_decode_audit": q_jpeg_decode_audit,
     "curate_corpus": q_curate_corpus,
     "decontaminate_docs": q_decontaminate_docs,
     "pii_audit_docs": q_pii_audit_docs,
@@ -2320,6 +2400,7 @@ ORACLES = {
     "wkt_geo_audit": SQL_WKT_GEO_AUDIT,
     "ogc_validity_audit": SQL_OGC_VALIDITY_AUDIT,
     "png_decode_audit": SQL_PNG_DECODE_AUDIT,
+    "jpeg_decode_audit": SQL_JPEG_DECODE_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "pii_audit_docs": SQL_PII_AUDIT_DOCS,

@@ -148,3 +148,98 @@ def test_png_rejects_corruption():
     truncated = encode_png(arr)[:-12]
     with pytest.raises(PNGError):
         decode_png(truncated)
+
+
+# --------------------------------------------------------------------- JPEG
+
+from safedata_validator_spark.functions.jpeg import (  # noqa: E402
+    JPEGError,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+from safedata_validator_spark.functions.jpeg import to_rgb as jpeg_to_rgb  # noqa: E402
+
+
+def _test_image(h=29, w=37, seed=7):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    img = np.stack([x, x[::-1], np.full((h, w), 64.0)], axis=-1)
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_jpeg_round_trip_rgb(subsample):
+    img = _test_image()
+    enc = encode_jpeg(img, quality=90, subsample=subsample)
+    assert is_jpeg(enc)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # q90 on a smooth-ish gradient: small lossy error, never drift
+    assert err.mean() < 8 and err.max() < 48
+
+
+def test_jpeg_q100_near_lossless():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    # all-ones quant tables: error is color-conversion rounding only
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+    g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=100))
+    assert dg.shape == g.shape
+    # grayscale skips color conversion: pure DCT rounding
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_flat_color_exact():
+    flat = np.full((20, 11, 3), 200, dtype=np.uint8)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(flat, quality=95, subsample=sub))
+        assert (dec == 200).all(), sub
+
+
+def test_jpeg_odd_sizes_crop_back():
+    # non-multiple-of-8 (and of 16 for 4:2:0) dims must crop exactly
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 31)):
+        img = _test_image(h, w, seed=h * 100 + w)
+        for sub in ("444", "420"):
+            assert decode_jpeg(encode_jpeg(img, subsample=sub)).shape == (h, w, 3)
+
+
+def test_jpeg_grayscale_to_rgb():
+    g = np.clip(np.linspace(0, 255, 16)[None, :] * np.ones((9, 1)), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.ndim == 2
+    rgb = jpeg_to_rgb(dec)
+    assert rgb.shape == (9, 16, 3)
+    assert (rgb[:, :, 0] == dec).all()
+
+
+def test_jpeg_rejects_malformed():
+    assert not is_jpeg(b"not a jpeg")
+    with pytest.raises(JPEGError):
+        decode_jpeg(b"not a jpeg")
+    enc = bytearray(encode_jpeg(_test_image(8, 8)))
+    # flip SOF0 into SOF2 (progressive) — must refuse, not mis-decode
+    idx = bytes(enc).find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(JPEGError):
+        decode_jpeg(encode_jpeg(_test_image(8, 8))[:40])  # truncated
+    with pytest.raises(JPEGError):
+        encode_jpeg(_test_image(8, 8).astype(np.int32))
+
+
+def test_decode_image_uses_builtin_jpeg_without_pillow():
+    # decode_image must route JPEG payloads through the built-in codec when
+    # pillow is absent (it IS absent in this container; when present this
+    # still passes — PIL decodes the same baseline stream)
+    from safedata_validator_spark.functions.multimodal import decode_image
+
+    img = _test_image(16, 32)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (16, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 8

@@ -149,14 +149,18 @@ def test_extract_features_over_real_png(spark):
     assert all(abs(f - (60 + 120 + 180) / 3 / 255.0) < 1e-6 for f in row["features"])
 
 
-def test_decode_image_non_png_without_pil():
-    """Non-PNG payloads still need pillow; PNG no longer does."""
+def test_decode_image_other_formats_without_pil():
+    """Formats beyond PNG and baseline JPEG still need pillow; a malformed
+    payload of a BUILT-IN format fails as malformed, not as missing-codec."""
+    from safedata_validator_spark.functions.jpeg import JPEGError
     from safedata_validator_spark.functions.multimodal import decode_image
 
     if HAVE_PIL:
         pytest.skip("pillow installed - every format decodes")
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(b"\xff\xd8\xff\xe0 not a png")
+        decode_image(b"GIF89a not a built-in format")
+    with pytest.raises(JPEGError):
+        decode_image(b"\xff\xd8\xff\xe0 truncated jpeg")
 
 
 @pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
@@ -178,6 +182,40 @@ def test_builtin_png_parity_with_pil():
             with Image.open(io.BytesIO(data)) as im:
                 pil_rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
             assert (to_rgb(decode_png(data)) == pil_rgb).all(), (ch, ft)
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
+def test_builtin_jpeg_parity_with_pil():
+    """When pillow is present it is the oracle for the built-in baseline
+    JPEG codec, both directions: PIL must decode our streams to the same
+    pixels (±1 for IDCT rounding differences), and our decoder must match
+    PIL's pixels on a PIL-encoded baseline stream."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from safedata_validator_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    x = np.linspace(0, 255, 24)[None, :] * np.ones((17, 1))
+    img = np.clip(
+        np.stack([x, x[::-1], np.full((17, 24), 64.0)], axis=-1)
+        + rng.normal(0, 2, (17, 24, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        data = encode_jpeg(img, quality=90, subsample=sub)
+        with Image.open(io.BytesIO(data)) as im:
+            pil_px = np.asarray(im.convert("RGB"), dtype=np.int32)
+        ours = decode_jpeg(data).astype(np.int32)
+        assert np.abs(ours - pil_px).max() <= 2, sub
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    pil_stream = buf.getvalue()
+    with Image.open(io.BytesIO(pil_stream)) as im:
+        pil_px = np.asarray(im.convert("RGB"), dtype=np.int32)
+    assert np.abs(decode_jpeg(pil_stream).astype(np.int32) - pil_px).max() <= 2
 
 
 def test_decode_image_surrogate_deterministic():

@@ -412,3 +412,40 @@ def test_build_binomial(spark, higher, lower, tri, expected):
         .first()
     )
     assert row["nm"] == expected
+
+
+def test_minhash_adaptive_cut_matches_default(spark, docs):
+    """adaptive_cut=True (scale path: skip the repack shuffle when the hot
+    list is provably empty) must return exactly the default path's pairs —
+    both when the cut is a no-op (high max_df) and when it bites (max_df=1
+    makes every shared shingle hot, so only the cut survivors pair)."""
+    for max_df in (100, 1):
+        base = dd.minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.1, max_df=max_df
+        )
+        adaptive = dd.minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.1, max_df=max_df, adaptive_cut=True
+        )
+        got_b = sorted(map(tuple, base.collect()))
+        got_a = sorted(map(tuple, adaptive.collect()))
+        dd.release(base)
+        dd.release(adaptive)
+        assert got_a == got_b, f"max_df={max_df}"
+
+
+def test_minhash_persists_compact_arrays_only(spark, docs):
+    """The spill discipline: every table the pipeline persists must be
+    compact — |docs|-row arrays or candidate-bounded rows — never the full
+    exploded |shingles|-row table (the round-3 10M-doc spill cause)."""
+    out = dd.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5, max_df=100)
+    out.write.mode("overwrite").format("noop").save()
+    n_docs = docs.count()
+    for cached in out._sdv_cached:
+        cols = dict(cached.dtypes)
+        if "__h" in cols and "hs" not in cols:
+            # exploded persists are allowed ONLY for candidate members /
+            # tiny hot lists — bounded by candidates, not the corpus
+            assert cached.count() <= n_docs * 20, cached.columns
+        else:
+            assert cached.count() <= n_docs, cached.columns
+    dd.release(out)
