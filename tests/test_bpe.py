@@ -102,3 +102,37 @@ def test_catalog_query_registered(spark):
     out = QUERIES["token_count_docs"](spark, SF)
     assert out.columns == ["doc_id", "n_bpe_tokens", "n_regex_tokens"]
     assert out.count() == spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+# ------------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_HYP = settings(max_examples=200, deadline=None, derandomize=True)
+
+
+@_HYP
+@given(st.text(max_size=200))
+def test_encode_matches_independent_formulation_random(t):
+    """Random-text cross-check of the two BPE formulations (engine:
+    lowest-rank-adjacent-pair loop; purepy_ref: rank-order global merges) —
+    the equivalence is a theorem about BPE, so hypothesis attacks it."""
+    import purepy_ref as ref
+
+    mine = len(bpe.encode(t))
+    theirs = sum(
+        ref.bpe_word_len(w.encode("utf-8"), MERGES)
+        for w in ref.BPE_PRETOKEN_RE.findall(t)
+    )
+    assert mine == theirs
+
+
+@_HYP
+@given(st.text(max_size=200))
+def test_pretokenization_is_lossless(t):
+    """Pre-token concatenation must reproduce the input exactly (GPT-2
+    property: the regex partitions the string), and token ids round-trip
+    through the byte space — so token counts are a true length measure."""
+    parts = bpe.PRETOKEN_RE.findall(t)
+    assert "".join(parts) == t
