@@ -2,12 +2,21 @@
 with typed metadata, processed in Arrow-batched pandas stages.
 
 The Spark side is real and tested: schemas, partition-preserving
-``mapInPandas`` stages, batch shapes, deterministic fake feature extraction.
-The codec step itself (actual JPEG/PCM decode) is STUBBED — the decode
-libraries (PIL/torchaudio/ffmpeg) are not in this container — behind
-``decode_image``, which raises NotImplementedError unless ``fake=True``
-routes to a deterministic hash-based pixel surrogate. Swapping the stub for
-a real decoder changes ONE function; every plan stays identical.
+``mapInPandas`` stages, batch shapes, deterministic feature extraction.
+All THREE media kinds now decode for REAL on built-in pure-stdlib+numpy
+codecs, in any environment:
+
+* image  — PNG (``functions.png``) and baseline JPEG (``functions.jpeg``)
+* audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``)
+* video  — animated GIF frames with delays/disposal (``functions.gif``)
+
+pillow (when installed) stays the preferred/parity image path; formats
+needing external libraries (mp4, mp3, progressive JPEG, ...) raise a typed
+error through the same one-function seams (``decode_image`` /
+``decode_audio`` / ``decode_frames``) — swapping in ffmpeg/pillow-SIMD
+changes one function, every Spark plan stays identical.  ``fake=True``
+routes to deterministic digest-keyed surrogates so hash-seeded golden
+plans stay payload-keyed and environment-independent.
 """
 
 from __future__ import annotations
@@ -79,6 +88,113 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     with Image.open(io.BytesIO(payload)) as img:
         return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
+    """Decode an audio payload to ``(sample_rate, float64 (n, ch) in [-1,1])``.
+
+    Real path: the built-in pure-stdlib WAV/PCM codec (``functions.wav``) —
+    integer 8/16/24/32-bit and float 32/64 PCM decode for REAL in any
+    environment, mirroring what ``functions.png``/``functions.jpeg`` do for
+    images.  Compressed formats raise ``WAVError``.  ``fake=True`` produces
+    a deterministic digest-keyed surrogate clip (8 kHz, 64 samples) so
+    hash-seeded golden plans stay payload-keyed and environment-independent.
+    """
+    if fake:
+        digest = hashlib.sha256(payload or b"").digest()
+        raw = np.frombuffer((digest * 2), dtype=np.uint8).astype(np.float64)
+        return 8000, ((raw - 128.0) / 128.0)[:, None]
+    from safedata_validator_spark.functions import wav as _wav
+
+    return _wav.decode_wav(payload)
+
+
+def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
+    """Decode a video-like payload to ``[(t_ms, HxWx3 uint8 frame), ...]``.
+
+    Real path: the built-in pure-stdlib animated-GIF codec
+    (``functions.gif``) — the one multi-frame container fully decodable on
+    stdlib+numpy, giving ``sample_frames`` REAL frames in any environment;
+    timestamps are the cumulative GIF frame delays.  Other containers
+    (mp4/webm) need ffmpeg and raise NotImplementedError — same
+    one-function swap seam as the image codecs.  ``fake=True`` emits
+    ``n_fake`` digest-keyed surrogate frames at t=0,1,2,... ms."""
+    if fake:
+        out = []
+        for fi in range(n_fake):
+            img = decode_image(
+                bytes(payload or b"") + fi.to_bytes(4, "little"), fake=True
+            )
+            out.append((fi, img))
+        return out
+    from safedata_validator_spark.functions import gif as _gif
+
+    if _gif.is_gif(payload or b""):
+        frames = _gif.decode_gif(payload)
+        out, t = [], 0
+        for delay_ms, img in frames:
+            out.append((t, img))
+            t += delay_ms
+        return out
+    raise NotImplementedError(
+        "video codec (ffmpeg) not available; animated GIF decodes via the "
+        "built-in codec, or pass fake=True for the surrogate frames"
+    )
+
+
+AUDIO_FEATURES_DDL = (
+    "media_id long, sample_rate int, n_frames int, n_channels int, "
+    "duration_ms int, rms double, peak double, zero_crossings int, "
+    "spectral_centroid_hz double"
+)
+
+
+def extract_audio_features(media: DataFrame, codec: str = "real") -> DataFrame:
+    """Audio feature extraction as a partition-preserving ``mapInPandas``
+    stage: per Arrow batch, decode each audio payload (built-in WAV codec
+    by default — real everywhere) and emit clip-level features (RMS, peak,
+    zero-crossing count, spectral centroid; all numpy-vectorized per clip,
+    one Python call per batch).  Non-audio rows are dropped inside the
+    batch (flatMap shape, no Spark-side filter needed).  ``codec='fake'``
+    routes to the digest-keyed surrogate clip."""
+
+    def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from safedata_validator_spark.functions.wav import audio_features
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                rate, samples = decode_audio(
+                    bytes(payload or b""), fake=codec != "real"
+                )
+                f = audio_features(rate, samples)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_frames": f["n_frames"],
+                        "n_channels": samples.shape[1],
+                        "duration_ms": f["duration_ms"],
+                        "rms": f["rms"],
+                        "peak": f["peak"],
+                        "zero_crossings": f["zero_crossings"],
+                        "spectral_centroid_hz": f["spectral_centroid_hz"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_frames", "n_channels",
+                    "duration_ms", "rms", "peak", "zero_crossings",
+                    "spectral_centroid_hz",
+                ],
+            )
+
+    return media.mapInPandas(per_batch, schema=AUDIO_FEATURES_DDL)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
@@ -220,14 +336,22 @@ def resize_images(
     return media.mapInPandas(per_batch, schema=RESIZED_DDL)
 
 
-def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
+def sample_frames(
+    media: DataFrame, n_frames: int = 3, codec: str = "fake"
+) -> DataFrame:
     """Video frame sampling as a flatMap-shaped ``mapInPandas`` stage: each
-    video row emits ``n_frames`` output rows at evenly spaced timestamps
-    across duration_ms, each with a deterministic per-frame feature vector
-    (surrogate decode keyed by payload digest + frame index — swapping in a
-    real ffmpeg seek changes one expression). Non-video rows emit nothing;
-    the row explosion happens INSIDE the Arrow batch, no Spark-side
-    explode/shuffle."""
+    video row emits ``n_frames`` output rows at evenly spaced positions,
+    each with a per-frame pooled feature vector. Non-video rows emit
+    nothing; the row explosion happens INSIDE the Arrow batch, no
+    Spark-side explode/shuffle.
+
+    ``codec='fake'`` (default — what golden plans are seeded with) uses the
+    digest-keyed surrogate frames at timestamps evenly spaced across
+    duration_ms.  ``codec='real'`` decodes the payload's ACTUAL frames via
+    ``decode_frames`` (built-in animated-GIF codec — real in any
+    environment; ffmpeg formats raise through the same seam), picks
+    ``n_frames`` evenly spaced decoded frames and stamps them with their
+    container timestamps."""
 
     def per_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -235,7 +359,32 @@ def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
             for mid, kind, dur, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["duration_ms"], pdf["payload"]
             ):
-                if kind != "video" or dur is None or pd.isna(dur):
+                if kind != "video":
+                    continue
+                if codec == "real":
+                    decoded = decode_frames(bytes(payload or b""))
+                    # evenly spaced positions over the decoded frame list
+                    picks = [
+                        (fi, decoded[min(fi * len(decoded) // n_frames,
+                                         len(decoded) - 1)])
+                        for fi in range(n_frames)
+                    ]
+                    for fi, (t_ms, img) in picks:
+                        flat = img.astype(np.float32).reshape(-1)
+                        if len(flat) < FEATURE_DIM:
+                            flat = np.resize(flat, FEATURE_DIM)
+                        pooled = (
+                            flat[: (len(flat) // FEATURE_DIM) * FEATURE_DIM]
+                            .reshape(FEATURE_DIM, -1)
+                            .mean(axis=1)
+                            / 255.0
+                        )
+                        ids.append(mid)
+                        idxs.append(fi)
+                        stamps.append(int(t_ms))
+                        feats.append(pooled.tolist())
+                    continue
+                if dur is None or pd.isna(dur):
                     continue
                 step = max(int(dur) // n_frames, 1)
                 for fi in range(n_frames):

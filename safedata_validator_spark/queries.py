@@ -1989,6 +1989,217 @@ FROM p
 """
 
 
+_AUDIO_AUDIT_DOCS = 96
+
+
+def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode audit over the built-in WAV/PCM codec
+    (functions/wav.py): per doc, synthesize a square wave of known
+    amplitude/period (16-bit mono, 16-bit stereo or 8-bit mono), encode to
+    WAV and decode + featurize through the SAME entry points the multimodal
+    pipeline uses (multimodal.decode_audio → wav.audio_features).  A
+    constant-|amplitude| square wave makes RMS and peak EXACT dyadic
+    rationals (a/2^15 or a/2^7 — bit-identical doubles, no rounding
+    needed) and the zero-crossing count a floor expression, so the DuckDB
+    oracle recomputes every output arithmetically from the doc id alone.
+    Gates RIFF framing, PCM 8/16-bit decode, channel de-interleave,
+    normalization and the feature math; 24/32-bit + float paths are
+    unit-gated in tests/test_builtin_codecs.py."""
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _AUDIO_AUDIT_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def per_batch(it):
+        import numpy as _np
+
+        from safedata_validator_spark.functions.multimodal import decode_audio
+        from safedata_validator_spark.functions.wav import (
+            audio_features,
+            encode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                layout = i % 3  # 0=16-bit mono, 1=16-bit stereo, 2=8-bit mono
+                a16 = (i * 997) % 30000 + 500
+                a8 = (i * 31) % 120 + 8
+                p = i % 7 + 2
+                # n ≡ 0 (mod 16) keeps duration_ms tie-free at every rate
+                n = 800 + (i % 40) * 16
+                rate = (8000, 16000, 44100)[(i // 3) % 3]
+                up = (_np.arange(n) // p) % 2 == 0
+                if layout == 2:
+                    samples = _np.where(up, 128 + a8, 128 - a8)
+                    payload = encode_wav(samples, rate, bits=8)
+                else:
+                    mono = _np.where(up, a16, -a16)
+                    ch = mono[:, None].repeat(2, axis=1) if layout == 1 else mono
+                    payload = encode_wav(ch, rate, bits=16)
+                sr, dec = decode_audio(payload)
+                f = audio_features(sr, dec)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "sample_rate": sr,
+                        "n_frames": f["n_frames"],
+                        "n_channels": dec.shape[1],
+                        "duration_ms": f["duration_ms"],
+                        "rms": f["rms"],
+                        "peak": f["peak"],
+                        "zero_crossings": f["zero_crossings"],
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames", "n_channels",
+                    "duration_ms", "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return d.mapInPandas(
+        per_batch,
+        schema=(
+            "doc_id long, sample_rate int, n_frames int, n_channels int, "
+            "duration_ms int, rms double, peak double, zero_crossings int"
+        ),
+    )
+
+
+SQL_AUDIO_FEATURES_AUDIT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         CAST(doc_id AS BIGINT) % 3 AS layout,
+         (CAST(doc_id AS BIGINT) * 997) % 30000 + 500 AS a16,
+         (CAST(doc_id AS BIGINT) * 31) % 120 + 8 AS a8,
+         CAST(doc_id AS BIGINT) % 7 + 2 AS hp,
+         800 + (CAST(doc_id AS BIGINT) % 40) * 16 AS n,
+         CASE (CAST(doc_id AS BIGINT) // 3) % 3
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+  FROM documents WHERE doc_id < {_AUDIO_AUDIT_DOCS}
+)
+SELECT i AS doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_frames,
+       CAST(CASE WHEN layout = 1 THEN 2 ELSE 1 END AS INT) AS n_channels,
+       CAST(round(n * 1000.0 / rate) AS INT) AS duration_ms,
+       -- constant-|amplitude| square wave: RMS = peak = a / 2^(bits-1),
+       -- an exact dyadic double on both sides (no rounding applied)
+       CASE WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS rms,
+       CASE WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS peak,
+       CAST((n - 1) // hp AS INT) AS zero_crossings
+FROM p
+"""
+
+
+_GIF_AUDIT_DOCS = 72
+
+
+def q_gif_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode audit over the built-in animated-GIF codec
+    (functions/gif.py): per doc, encode an animated GIF (2–4 solid-color
+    frames, per-frame delays, frame 0 interlaced on every third doc) and
+    decode it back through the SAME seam ``sample_frames(codec='real')``
+    uses (multimodal.decode_frames).  Solid frames make per-channel pixel
+    means exact integers and the GIF delay arithmetic (10 ms ticks,
+    cumulative timestamps) closed-form, so the DuckDB oracle recomputes
+    every output from the doc id alone.  Gates LSD/palette parsing,
+    variable-width LZW round trip, interlace reordering, frame compositing
+    and timestamp accumulation; disposal/transparency paths are unit-gated
+    in tests/test_builtin_codecs.py."""
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _GIF_AUDIT_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def per_batch(it):
+        import numpy as _np
+
+        from safedata_validator_spark.functions.gif import encode_gif
+        from safedata_validator_spark.functions.multimodal import decode_frames
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                nf = i % 3 + 2
+                w, h = i % 5 + 3, i % 4 + 2
+                pal = _np.array(
+                    [
+                        [
+                            (i * 37 + c * 19) % 256,
+                            (i * 59 + c * 23) % 256,
+                            (i * 83 + c * 29) % 256,
+                        ]
+                        for c in range(4)
+                    ],
+                    dtype=_np.uint8,
+                )
+                frames = [
+                    _np.full((h, w), fi % 4, dtype=_np.uint8) for fi in range(nf)
+                ]
+                payload = encode_gif(
+                    frames,
+                    pal,
+                    delays_ms=[(fi + 1) * 20 for fi in range(nf)],
+                    interlace_first=i % 3 == 0,
+                )
+                for fi, (t_ms, img) in enumerate(decode_frames(payload)):
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "frame_idx": fi,
+                            "t_ms": int(t_ms),
+                            "mean_r": float(img[:, :, 0].mean()),
+                            "mean_g": float(img[:, :, 1].mean()),
+                            "mean_b": float(img[:, :, 2].mean()),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "t_ms", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return d.mapInPandas(
+        per_batch,
+        schema=(
+            "doc_id long, frame_idx int, t_ms int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+SQL_GIF_FRAMES_AUDIT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, CAST(doc_id AS BIGINT) % 3 + 2 AS nf
+  FROM documents WHERE doc_id < {_GIF_AUDIT_DOCS}
+),
+f AS (
+  SELECT i, nf, unnest(range(0, nf)) AS fi FROM p
+)
+SELECT i AS doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       -- cumulative delays: sum of (k+1)*20 for k < fi
+       CAST(10 * fi * (fi + 1) AS INT) AS t_ms,
+       -- solid frame fi uses palette entry fi (nf <= 4): exact means
+       CAST((i * 37 + fi * 19) % 256 AS DOUBLE) AS mean_r,
+       CAST((i * 59 + fi * 23) % 256 AS DOUBLE) AS mean_g,
+       CAST((i * 83 + fi * 29) % 256 AS DOUBLE) AS mean_b
+FROM f
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -2368,6 +2579,8 @@ QUERIES = {
     "ogc_validity_audit": q_ogc_validity_audit,
     "png_decode_audit": q_png_decode_audit,
     "jpeg_decode_audit": q_jpeg_decode_audit,
+    "audio_features_audit": q_audio_features_audit,
+    "gif_frames_audit": q_gif_frames_audit,
     "curate_corpus": q_curate_corpus,
     "decontaminate_docs": q_decontaminate_docs,
     "pii_audit_docs": q_pii_audit_docs,
@@ -2401,6 +2614,8 @@ ORACLES = {
     "ogc_validity_audit": SQL_OGC_VALIDITY_AUDIT,
     "png_decode_audit": SQL_PNG_DECODE_AUDIT,
     "jpeg_decode_audit": SQL_JPEG_DECODE_AUDIT,
+    "audio_features_audit": SQL_AUDIO_FEATURES_AUDIT,
+    "gif_frames_audit": SQL_GIF_FRAMES_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "pii_audit_docs": SQL_PII_AUDIT_DOCS,

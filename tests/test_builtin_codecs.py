@@ -243,3 +243,218 @@ def test_decode_image_uses_builtin_jpeg_without_pillow():
     out = decode_image(encode_jpeg(img, quality=95))
     assert out.shape == (16, 32, 3)
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 8
+
+
+# --------------------------------------------------------------------------
+# WAV codec (functions/wav.py) — the built-in audio branch (round 4)
+# --------------------------------------------------------------------------
+
+from safedata_validator_spark.functions.wav import (  # noqa: E402
+    WAVError,
+    audio_features,
+    decode_wav,
+    encode_wav,
+    is_wav,
+)
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_pcm_round_trip(bits, channels):
+    rng = np.random.default_rng(bits * 10 + channels)
+    n = 777
+    if bits == 8:
+        s = rng.integers(0, 256, (n, channels))
+        expected = (s - 128) / 128.0
+    else:
+        lim = 1 << (bits - 1)
+        s = rng.integers(-lim, lim, (n, channels))
+        expected = s / float(lim)
+    rate, dec = decode_wav(encode_wav(s, 22050, bits=bits))
+    assert rate == 22050
+    assert dec.shape == (n, channels)
+    assert np.allclose(dec, expected)
+
+
+def test_wav_float32_round_trip():
+    sig = np.sin(np.arange(2048) * 0.013).astype(np.float32)
+    rate, dec = decode_wav(encode_wav(sig, 48000, bits=32))
+    assert rate == 48000
+    assert np.allclose(dec[:, 0], sig, atol=1e-7)
+
+
+def test_wav_extensible_and_alignment():
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM-16, plus an odd-length extra
+    # chunk before data (exercises 2-byte chunk alignment)
+    s = np.array([100, -100, 3000, -3000], dtype=np.int64)
+    base = encode_wav(s, 8000, bits=16)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt += struct.pack("<HIH", 22, 16, 0x0004) + struct.pack("<H", 1) + b"\x00" * 14
+    data = np.asarray(s).astype("<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # odd chunk + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, dec = decode_wav(payload)
+    assert rate == 8000
+    ref_rate, ref_dec = decode_wav(base)
+    assert np.array_equal(dec, ref_dec)
+
+
+def test_wav_rejects_malformed():
+    assert not is_wav(b"RIFFxxxx")
+    with pytest.raises(WAVError):
+        decode_wav(b"not audio at all")
+    good = encode_wav(np.array([1, 2, 3]), 8000, bits=16)
+    with pytest.raises(WAVError):
+        decode_wav(good[:20])  # truncated data chunk
+    # unsupported: mu-law format tag 7
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    with pytest.raises(WAVError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_square_wave_exact():
+    a, p, n = 12000, 5, 1003
+    sq = np.where((np.arange(n) // p) % 2 == 0, a, -a)
+    rate, dec = decode_wav(encode_wav(sq, 8000, bits=16))
+    f = audio_features(rate, dec)
+    assert f["rms"] == a / 32768.0  # exact dyadic value, bit-for-bit
+    assert f["peak"] == a / 32768.0
+    assert f["zero_crossings"] == (n - 1) // p
+    assert f["n_frames"] == n
+
+
+def test_audio_features_pure_tone_centroid():
+    # exact-bin cosine: centroid == tone frequency
+    n, k, rate = 2048, 64, 8000
+    tone = np.cos(2 * np.pi * k * np.arange(n) / n)
+    f = audio_features(rate, tone[:, None])
+    assert abs(f["spectral_centroid_hz"] - k * rate / n) < 1.0
+
+
+def test_audio_features_zero_handling():
+    # zeros break sign runs: +,0,+ no crossing; +,0,- one crossing
+    f = audio_features(8000, np.array([[1.0], [0.0], [1.0], [0.0], [-1.0]]))
+    assert f["zero_crossings"] == 1
+    silent = audio_features(8000, np.zeros((16, 1)))
+    assert silent["rms"] == 0.0 and silent["spectral_centroid_hz"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# GIF codec (functions/gif.py) — the built-in video-frame branch (round 4)
+# --------------------------------------------------------------------------
+
+from safedata_validator_spark.functions.gif import (  # noqa: E402
+    GIFError,
+    decode_gif,
+    encode_gif,
+    is_gif,
+)
+
+
+def test_gif_animated_round_trip():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 8, (13, 17)).astype(np.uint8) for _ in range(4)]
+    delays = [50, 100, 150, 200]
+    dec = decode_gif(encode_gif(frames, pal, delays_ms=delays))
+    assert len(dec) == 4
+    for (dms, img), f, exp in zip(dec, frames, delays):
+        assert dms == exp
+        assert np.array_equal(img, pal[f])
+
+
+def test_gif_interlace_round_trip():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    frame = rng.integers(0, 16, (23, 9)).astype(np.uint8)
+    dec = decode_gif(encode_gif([frame], pal, interlace_first=True))
+    assert np.array_equal(dec[0][1], pal[frame])
+
+
+def test_gif_code_width_growth_and_clear():
+    # 256-color palette + large noisy frame forces 12-bit codes and a
+    # dictionary clear mid-stream
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    frame = rng.integers(0, 256, (120, 150)).astype(np.uint8)
+    dec = decode_gif(encode_gif([frame], pal))
+    assert np.array_equal(dec[0][1], pal[frame])
+
+
+def test_gif_two_color_min_code_floor():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frame = (np.indices((9, 9)).sum(axis=0) % 2).astype(np.uint8)
+    dec = decode_gif(encode_gif([frame], pal))
+    assert np.array_equal(dec[0][1], pal[frame])
+
+
+def test_gif_transparency_composites_over_previous():
+    # frame 2 marks index 0 transparent: pixels keep frame 1's colors
+    pal = np.array(
+        [[10, 20, 30], [200, 100, 50], [0, 255, 0], [255, 0, 255]], np.uint8
+    )
+    f1 = np.full((4, 6), 1, np.uint8)
+    f2 = np.zeros((4, 6), np.uint8)
+    f2[1:3, 2:4] = 2
+    payload = bytearray(encode_gif([f1, f2], pal))
+    # set the transparency flag + index 0 on frame 2's graphic control:
+    # GCEs are the 8-byte blocks 21 f9 04 <packed> <delay:2> <tidx> 00
+    gce_positions = []
+    i = 0
+    while True:
+        i = payload.find(b"\x21\xf9\x04", i)
+        if i < 0:
+            break
+        gce_positions.append(i)
+        i += 3
+    assert len(gce_positions) == 2
+    p2 = gce_positions[1]
+    payload[p2 + 3] |= 0x01  # transparent color flag
+    payload[p2 + 6] = 0  # transparent index = 0
+    dec = decode_gif(bytes(payload))
+    assert len(dec) == 2
+    img2 = dec[1][1]
+    assert (img2[1:3, 2:4] == pal[2]).all()  # opaque pixels replaced
+    assert (img2[0, :] == pal[1]).all()  # transparent pixels show frame 1
+
+
+def test_gif_disposal_restore_background():
+    # disposal=2 after frame 1 restores the background color for frame 2's
+    # transparent region
+    pal = np.array(
+        [[9, 9, 9], [200, 100, 50], [0, 255, 0], [255, 0, 255]], np.uint8
+    )
+    f1 = np.full((3, 3), 1, np.uint8)
+    f2 = np.zeros((3, 3), np.uint8)
+    payload = bytearray(encode_gif([f1, f2], pal))
+    i1 = payload.find(b"\x21\xf9\x04")
+    payload[i1 + 3] |= 0x08  # disposal method 2 on frame 1
+    i2 = payload.find(b"\x21\xf9\x04", i1 + 3)
+    payload[i2 + 3] |= 0x01  # frame 2 fully transparent (index 0)
+    payload[i2 + 6] = 0
+    dec = decode_gif(bytes(payload))
+    # background index is 0 -> canvas restored to pal[0] before frame 2
+    assert (dec[1][1] == pal[0]).all()
+
+
+def test_gif_rejects_malformed():
+    assert not is_gif(b"JIF89a")
+    with pytest.raises(GIFError):
+        decode_gif(b"GIF89a")  # truncated
+    with pytest.raises(GIFError):
+        encode_gif([np.zeros((2, 2), np.uint8)], np.zeros((3, 3), np.uint8))
+    pal = np.zeros((4, 3), np.uint8)
+    good = bytes(encode_gif([np.zeros((8, 8), np.uint8)], pal))
+    with pytest.raises(GIFError):
+        decode_gif(good[: len(good) // 2])  # truncated mid-LZW
+    with pytest.raises(GIFError):
+        decode_gif(good[:12])  # truncated header

@@ -449,3 +449,65 @@ def test_minhash_persists_compact_arrays_only(spark, docs):
         else:
             assert cached.count() <= n_docs, cached.columns
     dd.release(out)
+
+
+def test_audio_features_stage_real_wav(spark):
+    """extract_audio_features over REAL WAV payloads through the built-in
+    codec: Arrow-batch stage decodes, features match the numpy kernel, and
+    non-audio rows are dropped inside the batch."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from safedata_validator_spark.functions.wav import audio_features, encode_wav
+
+    rows = []
+    expected = {}
+    for i in range(12):
+        a = 1000 + i * 700
+        n = 400 + i * 16
+        sq = np.where((np.arange(n) // (i % 4 + 2)) % 2 == 0, a, -a)
+        payload = encode_wav(sq, 16000, bits=16)
+        rows.append((i, "audio", "audio/wav", None, None, None, bytearray(payload)))
+        expected[i] = audio_features(16000, (sq / 32768.0)[:, None])
+    rows.append((99, "image", None, 2, 2, None, bytearray(b"notaudio")))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    assert set(out) == set(expected)  # image row dropped in-batch
+    for i, exp in expected.items():
+        r = out[i]
+        assert r["sample_rate"] == 16000
+        assert r["n_frames"] == exp["n_frames"]
+        assert r["rms"] == exp["rms"]  # exact dyadic doubles
+        assert r["zero_crossings"] == exp["zero_crossings"]
+        assert abs(r["spectral_centroid_hz"] - exp["spectral_centroid_hz"]) < 1e-9
+
+
+def test_sample_frames_real_gif(spark):
+    """sample_frames(codec='real') seeks ACTUAL animated-GIF frames via the
+    built-in codec: container timestamps, even spacing over the decoded
+    frame list, features derived from the real pixels."""
+    import numpy as np
+
+    from safedata_validator_spark.functions.gif import encode_gif
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    rows = []
+    for i in range(6):
+        nf = i % 3 + 4  # 4..6 frames
+        frames = [np.full((4, 4), fi % 4, np.uint8) for fi in range(nf)]
+        payload = encode_gif(frames, pal, delays_ms=[30] * nf)
+        rows.append((i, "video", "image/gif", 4, 4, 30 * nf, bytearray(payload)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(media, n_frames=3, codec="real").collect()
+    assert len(out) == 3 * 6
+    for r in out:
+        nf = r["media_id"] % 3 + 4
+        pick = min(r["frame_idx"] * nf // 3, nf - 1)
+        assert r["frame_ms"] == 30 * pick  # real container timestamps
+        # solid 4x4 frame of palette color pick%4: each of the 16 pooled
+        # buckets spans exactly one pixel's interleaved (r, g, b), so every
+        # feature equals that color's channel mean / 255
+        exp = pal[pick % 4].astype(float).mean() / 255.0
+        assert np.allclose(r["features"], [exp] * mm.FEATURE_DIM)
