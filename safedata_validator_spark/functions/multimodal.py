@@ -9,6 +9,8 @@ codecs, in any environment:
 * image  — PNG (``functions.png``) and baseline JPEG (``functions.jpeg``)
 * audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``)
 * video  — animated GIF frames with delays/disposal (``functions.gif``)
+           and MJPEG AVI (``functions.avi``: RIFF container walk + the
+           built-in JPEG codec per frame)
 
 pillow (when installed) stays the preferred/parity image path; formats
 needing external libraries (mp4, mp3, progressive JPEG, ...) raise a typed
@@ -112,13 +114,14 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
 def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
     """Decode a video-like payload to ``[(t_ms, HxWx3 uint8 frame), ...]``.
 
-    Real path: the built-in pure-stdlib animated-GIF codec
-    (``functions.gif``) — the one multi-frame container fully decodable on
-    stdlib+numpy, giving ``sample_frames`` REAL frames in any environment;
-    timestamps are the cumulative GIF frame delays.  Other containers
-    (mp4/webm) need ffmpeg and raise NotImplementedError — same
-    one-function swap seam as the image codecs.  ``fake=True`` emits
-    ``n_fake`` digest-keyed surrogate frames at t=0,1,2,... ms."""
+    Real path: two built-in pure-stdlib containers decode in any
+    environment — animated GIF (``functions.gif``; timestamps are the
+    cumulative frame delays) and MJPEG AVI (``functions.avi``: RIFF chunk
+    walk + the built-in baseline JPEG codec per frame; timestamps from the
+    stream header's scale/rate).  Other containers (mp4/webm) need ffmpeg
+    and raise NotImplementedError — same one-function swap seam as the
+    image codecs.  ``fake=True`` emits ``n_fake`` digest-keyed surrogate
+    frames at t=0,1,2,... ms."""
     if fake:
         out = []
         for fi in range(n_fake):
@@ -127,6 +130,7 @@ def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
             )
             out.append((fi, img))
         return out
+    from safedata_validator_spark.functions import avi as _avi
     from safedata_validator_spark.functions import gif as _gif
 
     if _gif.is_gif(payload or b""):
@@ -136,9 +140,12 @@ def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
             out.append((t, img))
             t += delay_ms
         return out
+    if _avi.is_avi(payload or b""):
+        return _avi.decode_avi(payload)
     raise NotImplementedError(
-        "video codec (ffmpeg) not available; animated GIF decodes via the "
-        "built-in codec, or pass fake=True for the surrogate frames"
+        "video codec (ffmpeg) not available; animated GIF and MJPEG AVI "
+        "decode via the built-in codecs, or pass fake=True for the "
+        "surrogate frames"
     )
 
 

@@ -5,8 +5,9 @@ PNG is stdlib-decodable: chunk framing + CRC32 and DEFLATE both live in
 ``zlib``, and scanline unfiltering (the only image math) vectorizes in
 numpy.  This makes the *real*-payload path of the multimodal operators
 executable in this container instead of environment-gated: any
-non-interlaced 8-bit PNG (greyscale, grey+alpha, RGB, RGBA, palette)
-decodes to the same HxWxC uint8 array pillow would produce.  When pillow
+non-interlaced PNG (greyscale, grey+alpha, RGB, RGBA, palette, every
+legal bit depth — 1/2/4/8/16) decodes to the HxWxC array pillow would
+produce (uint16 for 16-bit, uint8 otherwise).  When pillow
 IS importable, ``decode_image`` still prefers it (full format coverage —
 JPEG etc.); the parity test in tests/test_env_gated.py pins the two
 branches to agree on PNG the moment the library is present.
@@ -34,6 +35,9 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 #: color type → samples per pixel
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: color type → permitted bit depths (PNG spec §11.2.2, table 11.1)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
 
 class PNGError(ValueError):
@@ -63,8 +67,13 @@ def _chunks(data: bytes):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to an (h, w, channels) uint8 array
-    (greyscale decodes to channels=1, palette expands to its sample count)."""
+    """Decode a non-interlaced PNG to an (h, w, channels) array.
+
+    All legal bit depths decode: 8-bit → uint8; 16-bit → uint16 (full
+    precision, big-endian samples per spec §7.1); 1/2/4-bit greyscale →
+    uint8 scaled to 0-255 exactly as PIL's ``L`` conversion (``x * 255 //
+    (2**depth - 1)``); 1/2/4-bit palette indices expand through PLTE.
+    Greyscale decodes to channels=1, palette to its sample count."""
     if not is_png(data):
         raise PNGError("not a PNG signature")
     ihdr = None
@@ -83,10 +92,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise PNGError("missing IHDR or IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise PNGError(f"unsupported bit depth {depth}")
     if ctype not in _CHANNELS:
         raise PNGError(f"unknown color type {ctype}")
+    if depth not in _DEPTHS[ctype]:
+        raise PNGError(f"illegal bit depth {depth} for color type {ctype}")
     if comp != 0 or filt != 0:
         raise PNGError("unknown compression/filter method")
     if interlace != 0:
@@ -95,7 +104,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PNGError("zero dimension")
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+    # filtering operates on BYTES regardless of depth (spec §9): stride is
+    # the packed byte width, the left-neighbour distance is whole bytes
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, ch * depth // 8)
     if len(raw) != h * (stride + 1):
         raise PNGError("decompressed size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -103,9 +115,19 @@ def decode_png(data: bytes) -> np.ndarray:
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        out[y] = _unfilter_line(int(ftypes[y]), lines[y], prev, ch)
+        out[y] = _unfilter_line(int(ftypes[y]), lines[y], prev, bpp)
         prev = out[y]
-    img = out.reshape(h, w, ch)
+    if depth == 16:
+        img = out.reshape(h, stride).view(">u2").astype(np.uint16).reshape(h, w, ch)
+    elif depth == 8:
+        img = out.reshape(h, w, ch)
+    else:  # 1/2/4-bit: unpack MSB-first, drop row padding bits
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        img = (bits * weights).sum(axis=2, dtype=np.uint16)[:, :, None]
+        if ctype == 0:  # scale grey samples to 0-255 like PIL's L mode
+            img = img * 255 // ((1 << depth) - 1)
+        img = img.astype(np.uint8)
     if ctype == 3:
         if palette is None:
             raise PNGError("palette image without PLTE")
@@ -194,20 +216,32 @@ def _filter_line(
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """Encode an (h, w) or (h, w, {1,2,3,4}) uint8 array as a non-interlaced
-    8-bit PNG, applying ``filter_type`` (0-4) to every scanline."""
-    a = np.asarray(arr, dtype=np.uint8)
+    """Encode an (h, w) or (h, w, {1,2,3,4}) array as a non-interlaced PNG,
+    applying ``filter_type`` (0-4) to every scanline.  uint8 input writes
+    bit depth 8; uint16 input writes bit depth 16 (big-endian samples)."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
         raise PNGError(f"unsupported array shape {arr.shape}")
     h, w, ch = a.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = a.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    if depth == 16:
+        flat = (
+            np.ascontiguousarray(a.reshape(h, w * ch))
+            .astype(">u2")
+            .view(np.uint8)
+            .reshape(h, w * ch * 2)
+        )
+    else:
+        flat = a.reshape(h, w * ch)
+    bpp = ch * depth // 8
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
     lines = []
     for y in range(h):
-        lines.append(bytes([filter_type]) + _filter_line(filter_type, flat[y], prev, ch).tobytes())
+        lines.append(bytes([filter_type]) + _filter_line(filter_type, flat[y], prev, bpp).tobytes())
         prev = flat[y]
     raw = zlib.compress(b"".join(lines), level)
 
@@ -219,12 +253,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
 def to_rgb(img: np.ndarray) -> np.ndarray:
-    """Match ``PIL.Image.convert("RGB")``: replicate grey, drop alpha."""
+    """Match ``PIL.Image.convert("RGB")``: replicate grey, drop alpha;
+    16-bit samples reduce to their high byte (PIL's I;16→L behaviour)."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     ch = img.shape[2]

@@ -136,6 +136,65 @@ def test_png_palette_with_transparency():
     assert decode_png(base + tail).shape == (2, 2, 3)
 
 
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_round_trip_16bit(channels, filter_type):
+    rng = np.random.default_rng(1000 + channels * 10 + filter_type)
+    for shape in ((1, 1), (3, 5), (9, 4)):
+        arr = rng.integers(0, 1 << 16, size=(*shape, channels), dtype=np.uint16)
+        out = decode_png(encode_png(arr, filter_type=filter_type))
+        assert out.dtype == np.uint16
+        assert out.shape == arr.shape and (out == arr).all()
+
+
+def test_png_16bit_to_rgb_high_byte():
+    arr = np.array([[[0x1234, 0xFF00, 0x00FF]]], dtype=np.uint16)
+    assert (to_rgb(arr) == np.array([[[0x12, 0xFF, 0x00]]], dtype=np.uint8)).all()
+
+
+def _low_depth_png(depth, ctype, w, h, packed_rows, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in packed_rows)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + extra
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_low_depth_grey():
+    # 1-bit 10px row 1010101010 -> MSB-first bytes 0b10101010, 0b10______
+    img = decode_png(_low_depth_png(1, 0, 10, 2, [b"\xaa\x80", b"\x55\x40"]))
+    assert img.shape == (2, 10, 1)
+    assert (img[0, :, 0] == np.array([255, 0] * 5)).all()
+    assert (img[1, :, 0] == np.array([0, 255] * 5)).all()
+    # 2-bit: samples 0,1,2,3 scale to 0,85,170,255
+    img2 = decode_png(_low_depth_png(2, 0, 4, 1, [b"\x1b"]))  # 00 01 10 11
+    assert (img2[0, :, 0] == np.array([0, 85, 170, 255])).all()
+    # 4-bit: 0x0..0xF scale by 17
+    img4 = decode_png(_low_depth_png(4, 0, 3, 1, [b"\x5a\xf0"]))  # 5, a, f
+    assert (img4[0, :, 0] == np.array([85, 170, 255])).all()
+
+
+def test_png_low_depth_palette():
+    plte = bytes((10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    # 2-bit palette, 3px row: indices 2,0,1 -> bits 10 00 01 -> 0b100001__
+    data = _low_depth_png(2, 3, 3, 1, [b"\x84"], extra=_chunk(b"PLTE", plte))
+    img = decode_png(data)
+    assert img.shape == (1, 3, 3)
+    assert (img[0] == np.array([[70, 80, 90], [10, 20, 30], [40, 50, 60]])).all()
+
+
+def test_png_illegal_depth_combinations():
+    for depth, ctype in ((16, 3), (2, 2), (4, 6), (3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00")) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PNGError):
+            decode_png(data)
+
+
 def test_png_rejects_corruption():
     arr = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(encode_png(arr))
@@ -458,3 +517,99 @@ def test_gif_rejects_malformed():
         decode_gif(good[: len(good) // 2])  # truncated mid-LZW
     with pytest.raises(GIFError):
         decode_gif(good[:12])  # truncated header
+
+
+# ---------------------------------------------------------------------- AVI
+
+
+def _mk_avi(values, w=9, h=6, fps=8, layout="444"):
+    from safedata_validator_spark.functions.avi import encode_avi
+    from safedata_validator_spark.functions.jpeg import encode_jpeg
+
+    jpegs = []
+    for v in values:
+        if layout == "gray":
+            jpegs.append(encode_jpeg(np.full((h, w), v, np.uint8), quality=100))
+        else:
+            jpegs.append(
+                encode_jpeg(np.full((h, w, 3), v, np.uint8), quality=100,
+                            subsample=layout)
+            )
+    return encode_avi(jpegs, width=w, height=h, fps=fps)
+
+
+@pytest.mark.parametrize("layout", ["gray", "444", "420"])
+def test_avi_mjpeg_round_trip_exact(layout):
+    from safedata_validator_spark.functions.avi import avi_meta, decode_avi, is_avi
+
+    values = [10, 120, 250]
+    data = _mk_avi(values, w=9, h=6, fps=8, layout=layout)
+    assert is_avi(data)
+    meta = avi_meta(data)
+    assert (meta["width"], meta["height"]) == (9, 6)
+    assert (meta["scale"], meta["rate"]) == (1, 8)
+    assert meta["total_frames"] == 3 and meta["handler"] == "MJPG"
+    out = decode_avi(data)
+    assert [t for t, _ in out] == [0, 125, 250]
+    for (_, img), v in zip(out, values):
+        assert img.shape == (6, 9, 3)
+        assert (img == v).all()  # flat q100 JPEG decodes exactly
+
+
+def test_avi_timestamps_integer_floor():
+    from safedata_validator_spark.functions.avi import decode_avi
+
+    data = _mk_avi([1, 2, 3, 4], fps=7)
+    assert [t for t, _ in decode_avi(data)] == [0, 142, 285, 428]
+
+
+def test_avi_odd_length_frame_padding():
+    # force an odd-length JPEG payload so the RIFF even-padding path runs
+    from safedata_validator_spark.functions.avi import avi_frames, encode_avi
+    from safedata_validator_spark.functions.jpeg import encode_jpeg
+
+    j = encode_jpeg(np.full((2, 2), 7, np.uint8), quality=100)
+    odd = j + b"\x00" if len(j) % 2 == 0 else j  # JPEG ignores trailing pad
+    data = encode_avi([odd, j], width=2, height=2, fps=4)
+    _, frames = avi_frames(data)
+    assert [len(f) for _, f in frames] == [len(odd), len(j)]
+
+
+def test_avi_decode_frames_seam():
+    from safedata_validator_spark.functions.multimodal import decode_frames
+
+    out = decode_frames(_mk_avi([5, 200], fps=10))
+    assert [(t, img.shape) for t, img in out] == [(0, (6, 9, 3)), (100, (6, 9, 3))]
+    with pytest.raises(NotImplementedError):
+        decode_frames(b"\x00\x00\x00\x1cftypisom mp4 is not decodable")
+
+
+def test_avi_rejects_malformed():
+    from safedata_validator_spark.functions.avi import (
+        AVIError,
+        avi_meta,
+        decode_avi,
+        encode_avi,
+        is_avi,
+    )
+
+    assert not is_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(AVIError):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no headers
+    data = _mk_avi([1, 2])
+    with pytest.raises(AVIError):
+        decode_avi(data[: len(data) // 2])  # truncated mid-movi
+    # non-MJPEG frame payload behind a valid container
+    bad = encode_avi([b"not a jpeg stream!"], width=2, height=2, fps=5)
+    with pytest.raises(AVIError, match="not MJPEG"):
+        decode_avi(bad)
+    with pytest.raises(AVIError):
+        encode_avi([], width=2, height=2)
+    with pytest.raises(AVIError):
+        encode_avi([b"x"], width=2, height=2, fps=0)
+    # headers present but no video stream: strip the movi list tag
+    mut = bytearray(data)
+    i = mut.find(b"vids")
+    mut[i : i + 4] = b"auds"
+    with pytest.raises(AVIError, match="no video stream"):
+        avi_meta(bytes(mut))

@@ -185,6 +185,25 @@ def test_builtin_png_parity_with_pil():
 
 
 @pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
+def test_builtin_png_16bit_parity_with_pil():
+    """16-bit greyscale: PIL opens as I;16 — raw sample values must match
+    the built-in decoder's uint16 output exactly."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from safedata_validator_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 1 << 16, size=(9, 7, 1), dtype=np.uint16)
+    data = encode_png(arr, filter_type=4)
+    with Image.open(io.BytesIO(data)) as im:
+        pil = np.asarray(im, dtype=np.uint16)
+    assert (decode_png(data)[:, :, 0] == pil).all()
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="pillow not installed")
 def test_builtin_jpeg_parity_with_pil():
     """When pillow is present it is the oracle for the built-in baseline
     JPEG codec, both directions: PIL must decode our streams to the same

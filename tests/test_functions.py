@@ -511,3 +511,38 @@ def test_sample_frames_real_gif(spark):
         # feature equals that color's channel mean / 255
         exp = pal[pick % 4].astype(float).mean() / 255.0
         assert np.allclose(r["features"], [exp] * mm.FEATURE_DIM)
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames(codec='real') decodes MJPEG-AVI payloads through the
+    built-in RIFF walker + baseline JPEG codec: stream-header timestamps
+    (fi * 1000 // fps), features from the real (exactly decoded) pixels."""
+    import numpy as np
+
+    from safedata_validator_spark.functions.avi import encode_avi
+    from safedata_validator_spark.functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(5):
+        nf = i % 2 + 3  # 3..4 frames
+        fps = i % 3 + 4  # 4..6
+        jpegs = [
+            encode_jpeg(np.full((4, 4, 3), (i * 40 + fi * 60) % 256, np.uint8),
+                        quality=100, subsample="444")
+            for fi in range(nf)
+        ]
+        payload = encode_avi(jpegs, width=4, height=4, fps=fps)
+        rows.append(
+            (i, "video", "video/x-msvideo", 4, 4, nf * 1000 // fps,
+             bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(media, n_frames=2, codec="real").collect()
+    assert len(out) == 2 * 5
+    for r in out:
+        i = r["media_id"]
+        nf, fps = i % 2 + 3, i % 3 + 4
+        pick = min(r["frame_idx"] * nf // 2, nf - 1)
+        assert r["frame_ms"] == pick * 1000 // fps
+        exp = ((i * 40 + pick * 60) % 256) / 255.0  # flat q100: exact decode
+        assert np.allclose(r["features"], [exp] * mm.FEATURE_DIM)
