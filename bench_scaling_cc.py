@@ -23,6 +23,9 @@ import subprocess
 import sys
 
 N_EDGES = int(os.environ.get("SDV_BENCH_EDGES", 10_000_000))
+#: nodes in the adversarial long-path component (0 = pure size-10-chain
+#: graph, the dedup-shaped case: ~3 contraction rounds instead of ~17)
+PATH_NODES = int(os.environ.get("SDV_BENCH_PATH_NODES", 100_000))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SDV_BENCH_LEVELS", "1,2,4,8").split(",")
 )
@@ -35,7 +38,7 @@ REPEATS = int(os.environ.get("SDV_BENCH_REPEATS", 2))
 
 WORKER = r"""
 import json, sys, time
-n_edges, cores = int(sys.argv[1]), int(sys.argv[2])
+n_edges, cores, path_nodes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 from pyspark.sql import functions as F
 from safedata_validator_spark.session import build_session
 from safedata_validator_spark.functions.dedup import connected_components
@@ -47,7 +50,7 @@ spark = build_session(app_name=f"sdv-cc-scale-{cores}",
 # deterministic edge table, materialized ONCE and reused by every level:
 # size-10 chain clusters over the id space, plus one 100k-node path wired
 # through ids offset by 10^12 (disjoint from the cluster ids)
-src = f"/tmp/sdv_bench_cc_edges_{n_edges}_c64"
+src = f"/tmp/sdv_bench_cc_edges_{n_edges}_p{path_nodes}_c64"
 df = None
 try:
     cached = spark.read.parquet(src)
@@ -57,18 +60,20 @@ except Exception:
     pass
 if df is None:
     base = (
-        spark.range(n_edges - 100_000)
+        spark.range(n_edges - path_nodes)
         .select(
             F.col("id").alias("id_a"),
             F.when(F.col("id") % 10 != 9, F.col("id") + 1)
              .otherwise(F.col("id") - 9).alias("id_b"),
         )
     )
-    path = spark.range(100_000).select(
-        (F.col("id") + F.lit(10**12)).alias("id_a"),
-        (F.col("id") + F.lit(10**12) + 1).alias("id_b"),
-    )
-    base.unionByName(path).repartition(64).write.mode("overwrite").parquet(src)
+    if path_nodes:
+        path = spark.range(path_nodes).select(
+            (F.col("id") + F.lit(10**12)).alias("id_a"),
+            (F.col("id") + F.lit(10**12) + 1).alias("id_b"),
+        )
+        base = base.unionByName(path)
+    base.repartition(64).write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
 
 stats = {}
@@ -97,7 +102,7 @@ print(json.dumps({"cores": cores, "cc_sec": dt, "edges_per_sec": n_edges / dt,
 def run_at(cores: int) -> dict:
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(N_EDGES), str(cores)],
+        [sys.executable, "-c", WORKER, str(N_EDGES), str(cores), str(PATH_NODES)],
         capture_output=True, text=True, env=env, timeout=7200,
     )
     if out.returncode != 0:
@@ -129,6 +134,7 @@ def main() -> None:
     }
     print(json.dumps({
         "n_edges": N_EDGES,
+        "path_nodes": PATH_NODES,
         "levels": {str(c): round(best[c], 2) for c in LEVELS},
         "edges_per_sec": {str(c): round(N_EDGES / best[c], 1) for c in LEVELS},
         "scaling_efficiency": {f"{lo}->{hi}": round(e, 3) for (lo, hi), e in effs.items()},
