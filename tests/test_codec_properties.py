@@ -1,0 +1,145 @@
+"""Hypothesis property batteries for the four built-in media codecs
+(functions/png.py, jpeg.py, gif.py, wav.py, avi.py): random-input
+round-trip invariants beyond the hand-picked cases in
+test_builtin_codecs.py. No Spark session — pure kernel fuzzing.
+
+Properties pinned:
+* PNG: encode→decode is the identity for every (dtype, channels, filter)
+  — lossless by spec.
+* WAV: int PCM round-trips to the same quantized sample; float PCM is
+  bit-exact.
+* GIF: palette frames round-trip exactly (LZW is lossless); timestamps
+  are the cumulative delays.
+* AVI: container framing returns the exact payload bytes in order and
+  floor-division timestamps for any frame sizes/fps.
+* JPEG (q100 flat): exact for any flat image at any size — the invariant
+  the arithmetic catalog oracles rely on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from safedata_validator_spark.functions.avi import avi_frames, encode_avi
+from safedata_validator_spark.functions.gif import decode_gif, encode_gif
+from safedata_validator_spark.functions.jpeg import decode_jpeg, encode_jpeg, to_rgb
+from safedata_validator_spark.functions.png import decode_png, encode_png
+from safedata_validator_spark.functions.wav import decode_wav, encode_wav
+
+_dims = st.integers(min_value=1, max_value=17)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=_dims, w=_dims,
+    ch=st.integers(min_value=1, max_value=4),
+    ft=st.integers(min_value=0, max_value=4),
+    bit16=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_round_trip_property(h, w, ch, ft, bit16, seed):
+    rng = np.random.default_rng(seed)
+    if bit16:
+        arr = rng.integers(0, 1 << 16, size=(h, w, ch), dtype=np.uint16)
+    else:
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=ft))
+    assert out.dtype == arr.dtype and out.shape == arr.shape
+    assert (out == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    ch=st.integers(min_value=1, max_value=2),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_int_pcm_round_trip_property(n, ch, bits, seed):
+    # encode_wav takes RAW integer sample values at the target depth;
+    # decode normalizes by 2^(bits-1) (8-bit: unsigned, offset 128) —
+    # exact in float64 for every depth ≤ 32
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        s = rng.integers(0, 256, size=(n, ch))
+        expected = (s - 128) / 128.0
+    else:
+        lim = 1 << (bits - 1)
+        s = rng.integers(-lim, lim, size=(n, ch))
+        expected = s / float(lim)
+    rate, dec = decode_wav(encode_wav(s, 16000, bits=bits))
+    assert rate == 16000 and dec.shape == (n, ch)
+    assert (dec == expected).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    ch=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_float_pcm_round_trip_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(-1, 1, size=(n, ch)).astype(np.float32)
+    rate, dec = decode_wav(encode_wav(s, 44100, bits=32))
+    assert rate == 44100
+    assert (dec == s.astype(np.float64)).all()  # float path is bit-exact
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    nf=st.integers(min_value=1, max_value=5),
+    npal=st.sampled_from([2, 4, 8, 16]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_gif_round_trip_property(h, w, nf, npal, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, npal, size=(h, w), dtype=np.uint8) for _ in range(nf)
+    ]
+    delays = [int(d) * 10 for d in rng.integers(1, 20, size=nf)]
+    dec = decode_gif(encode_gif(frames, pal, delays_ms=delays))
+    assert len(dec) == nf
+    for (delay, img), src in zip(dec, frames):
+        assert img.shape == (h, w, 3)
+        assert (img == pal[src]).all()
+    assert [d for d, _ in dec] == delays
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6),
+    fps=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_avi_container_framing_property(sizes, fps, seed):
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes() for n in sizes]
+    meta, frames = avi_frames(encode_avi(payloads, width=4, height=4, fps=fps))
+    assert meta["rate"] == fps and meta["total_frames"] == len(payloads)
+    assert [f for _, f in frames] == payloads
+    assert [t for t, _ in frames] == [i * 1000 // fps for i in range(len(payloads))]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    v=st.integers(min_value=0, max_value=255),
+    layout=st.sampled_from(["gray", "444", "420"]),
+)
+def test_jpeg_q100_flat_exact_property(h, w, v, layout):
+    if layout == "gray":
+        arr = np.full((h, w), v, np.uint8)
+        data = encode_jpeg(arr, quality=100)
+    else:
+        arr = np.full((h, w, 3), v, np.uint8)
+        data = encode_jpeg(arr, quality=100, subsample=layout)
+    out = to_rgb(decode_jpeg(data))
+    assert out.shape == (h, w, 3)
+    assert (out == v).all()
