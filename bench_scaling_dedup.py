@@ -33,7 +33,7 @@ LEVELS = tuple(
 PAIRS = tuple(
     tuple(int(x) for x in pair.split("-"))
     for pair in os.environ.get("SDV_BENCH_PAIRS", "1-4,2-8,8-32").split(",")
-    if all(int(x) in LEVELS for x in pair.split("-"))
+    if pair and all(int(x) in LEVELS for x in pair.split("-"))
 )
 REPEATS = int(os.environ.get("SDV_BENCH_REPEATS", 2))
 JOBS = tuple(os.environ.get("SDV_BENCH_JOBS", "minhash,curate").split(","))
