@@ -8,12 +8,14 @@ codecs, in any environment:
 
 * image  — PNG (``functions.png``) and baseline JPEG (``functions.jpeg``)
 * audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``)
-* video  — animated GIF frames with delays/disposal (``functions.gif``)
-           and MJPEG AVI (``functions.avi``: RIFF container walk + the
-           built-in JPEG codec per frame)
+* video  — animated GIF frames with delays/disposal (``functions.gif``),
+           MJPEG AVI (``functions.avi``: RIFF container walk + the
+           built-in JPEG codec per frame) and MJPEG MP4 (``functions.mp4``:
+           ISO-BMFF box walk + sample tables + the same JPEG codec)
 
 pillow (when installed) stays the preferred/parity image path; formats
-needing external libraries (mp4, mp3, progressive JPEG, ...) raise a typed
+needing external libraries (H.264/VP9 video, mp3, progressive JPEG, ...)
+raise a typed
 error through the same one-function seams (``decode_image`` /
 ``decode_audio`` / ``decode_frames``) — swapping in ffmpeg/pillow-SIMD
 changes one function, every Spark plan stays identical.  ``fake=True``
@@ -114,14 +116,17 @@ def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
 def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
     """Decode a video-like payload to ``[(t_ms, HxWx3 uint8 frame), ...]``.
 
-    Real path: two built-in pure-stdlib containers decode in any
+    Real path: three built-in pure-stdlib containers decode in any
     environment — animated GIF (``functions.gif``; timestamps are the
-    cumulative frame delays) and MJPEG AVI (``functions.avi``: RIFF chunk
+    cumulative frame delays), MJPEG AVI (``functions.avi``: RIFF chunk
     walk + the built-in baseline JPEG codec per frame; timestamps from the
-    stream header's scale/rate).  Other containers (mp4/webm) need ffmpeg
-    and raise NotImplementedError — same one-function swap seam as the
-    image codecs.  ``fake=True`` emits ``n_fake`` digest-keyed surrogate
-    frames at t=0,1,2,... ms."""
+    stream header's scale/rate) and MJPEG MP4 (``functions.mp4``: ISO-BMFF
+    box walk, stsd/stts/stsc/stsz/stco sample tables, same per-frame JPEG
+    decode; timestamps from stts over the mdhd timescale).  Compressed
+    codecs inside mp4/webm (H.264, VP9, ...) need ffmpeg and raise
+    NotImplementedError — same one-function swap seam as the image codecs.
+    ``fake=True`` emits ``n_fake`` digest-keyed surrogate frames at
+    t=0,1,2,... ms."""
     if fake:
         out = []
         for fi in range(n_fake):
@@ -132,6 +137,7 @@ def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
         return out
     from safedata_validator_spark.functions import avi as _avi
     from safedata_validator_spark.functions import gif as _gif
+    from safedata_validator_spark.functions import mp4 as _mp4
 
     if _gif.is_gif(payload or b""):
         frames = _gif.decode_gif(payload)
@@ -142,10 +148,12 @@ def decode_frames(payload: bytes, fake: bool = False, n_fake: int = 3):
         return out
     if _avi.is_avi(payload or b""):
         return _avi.decode_avi(payload)
+    if _mp4.is_mp4(payload or b""):
+        return _mp4.decode_mp4(payload)
     raise NotImplementedError(
-        "video codec (ffmpeg) not available; animated GIF and MJPEG AVI "
-        "decode via the built-in codecs, or pass fake=True for the "
-        "surrogate frames"
+        "video codec (ffmpeg) not available; animated GIF, MJPEG AVI and "
+        "MJPEG MP4 decode via the built-in codecs, or pass fake=True for "
+        "the surrogate frames"
     )
 
 

@@ -2293,6 +2293,104 @@ FROM f
 """
 
 
+_MP4_AUDIT_DOCS = 60
+
+
+def q_mp4_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode audit over the built-in MJPEG-MP4 path
+    (functions/mp4.py + functions/jpeg.py): per doc, encode 2-4 flat frames
+    (grayscale / equal-channel RGB at 4:4:4 / at 4:2:0, rotating by doc) as
+    quality-100 baseline JPEGs, wrap them in a single-track ISO-BMFF/MP4
+    container at a per-doc fps AND a per-doc chunk layout (1..3 samples per
+    chunk, so the stsc/stco chunk map is exercised with ragged last chunks,
+    not just the all-in-one-chunk shape), and decode back through the SAME
+    seam ``sample_frames(codec='real')`` uses (multimodal.decode_frames).
+    Flat q100 JPEG decodes exactly (see q_jpeg_decode_audit) and MP4
+    timestamps are pure integer arithmetic (stts cumulative deltas over the
+    mdhd timescale: fi * 1000 // fps), so the DuckDB oracle recomputes every
+    output from the doc id alone.  Gates box-tree walking, tkhd/mdhd/hdlr
+    parsing, stsd codec dispatch, the stts/stsc/stsz/stco sample map, MJPEG
+    payload decode and timestamp assignment."""
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _MP4_AUDIT_DOCS)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def per_batch(it):
+        import numpy as _np
+
+        from safedata_validator_spark.functions.jpeg import encode_jpeg
+        from safedata_validator_spark.functions.mp4 import encode_mp4
+        from safedata_validator_spark.functions.multimodal import decode_frames
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                nf = i % 3 + 2
+                w, h = i % 5 + 3, i % 4 + 2
+                fps = i % 4 + 5
+                layout = i % 3  # 0=gray, 1=RGB 4:4:4, 2=RGB 4:2:0
+                jpegs = []
+                for fi in range(nf):
+                    v = (i * 43 + fi * 71) % 256
+                    if layout == 0:
+                        jpegs.append(encode_jpeg(_np.full((h, w), v, _np.uint8), quality=100))
+                    else:
+                        jpegs.append(
+                            encode_jpeg(
+                                _np.full((h, w, 3), v, _np.uint8),
+                                quality=100,
+                                subsample="444" if layout == 1 else "420",
+                            )
+                        )
+                payload = encode_mp4(
+                    jpegs, width=w, height=h, fps=fps, samples_per_chunk=i % 3 + 1
+                )
+                for fi, (t_ms, img) in enumerate(decode_frames(payload)):
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "frame_idx": fi,
+                            "t_ms": int(t_ms),
+                            "n_px": int(img.size),
+                            "mean_px": round(float(img.mean()), 6),
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "t_ms", "n_px", "mean_px"]
+            )
+
+    return d.mapInPandas(
+        per_batch,
+        schema="doc_id long, frame_idx int, t_ms int, n_px int, mean_px double",
+    )
+
+
+SQL_MP4_FRAMES_AUDIT = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         CAST(doc_id AS BIGINT) % 3 + 2 AS nf,
+         CAST(doc_id AS BIGINT) % 5 + 3 AS w,
+         CAST(doc_id AS BIGINT) % 4 + 2 AS h,
+         CAST(doc_id AS BIGINT) % 4 + 5 AS fps
+  FROM documents WHERE doc_id < {_MP4_AUDIT_DOCS}
+),
+f AS (
+  SELECT i, w, h, fps, unnest(range(0, nf)) AS fi FROM p
+)
+SELECT i AS doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       CAST((fi * 1000) // fps AS INT) AS t_ms,
+       CAST(w * h * 3 AS INT) AS n_px,
+       CAST((i * 43 + fi * 71) % 256 AS DOUBLE) AS mean_px
+FROM f
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -2675,6 +2773,7 @@ QUERIES = {
     "audio_features_audit": q_audio_features_audit,
     "gif_frames_audit": q_gif_frames_audit,
     "avi_frames_audit": q_avi_frames_audit,
+    "mp4_frames_audit": q_mp4_frames_audit,
     "curate_corpus": q_curate_corpus,
     "decontaminate_docs": q_decontaminate_docs,
     "pii_audit_docs": q_pii_audit_docs,
@@ -2711,6 +2810,7 @@ ORACLES = {
     "audio_features_audit": SQL_AUDIO_FEATURES_AUDIT,
     "gif_frames_audit": SQL_GIF_FRAMES_AUDIT,
     "avi_frames_audit": SQL_AVI_FRAMES_AUDIT,
+    "mp4_frames_audit": SQL_MP4_FRAMES_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "pii_audit_docs": SQL_PII_AUDIT_DOCS,

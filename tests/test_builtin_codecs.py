@@ -581,7 +581,7 @@ def test_avi_decode_frames_seam():
     out = decode_frames(_mk_avi([5, 200], fps=10))
     assert [(t, img.shape) for t, img in out] == [(0, (6, 9, 3)), (100, (6, 9, 3))]
     with pytest.raises(NotImplementedError):
-        decode_frames(b"\x00\x00\x00\x1cftypisom mp4 is not decodable")
+        decode_frames(b"\x1a\x45\xdf\xa3 webm/EBML is not decodable")
 
 
 def test_avi_rejects_malformed():
@@ -613,3 +613,139 @@ def test_avi_rejects_malformed():
     mut[i : i + 4] = b"auds"
     with pytest.raises(AVIError, match="no video stream"):
         avi_meta(bytes(mut))
+
+
+# ---------------------------------------------------------------------- MP4
+
+
+def _mk_mp4(values, w=9, h=6, fps=8, layout="444", spc=None):
+    from safedata_validator_spark.functions.jpeg import encode_jpeg
+    from safedata_validator_spark.functions.mp4 import encode_mp4
+
+    jpegs = []
+    for v in values:
+        if layout == "gray":
+            jpegs.append(encode_jpeg(np.full((h, w), v, np.uint8), quality=100))
+        else:
+            jpegs.append(
+                encode_jpeg(np.full((h, w, 3), v, np.uint8), quality=100,
+                            subsample=layout)
+            )
+    return encode_mp4(jpegs, width=w, height=h, fps=fps, samples_per_chunk=spc)
+
+
+@pytest.mark.parametrize("layout", ["gray", "444", "420"])
+def test_mp4_mjpeg_round_trip_exact(layout):
+    from safedata_validator_spark.functions.mp4 import decode_mp4, is_mp4, mp4_meta
+
+    values = [10, 120, 250]
+    data = _mk_mp4(values, w=9, h=6, fps=8, layout=layout)
+    assert is_mp4(data)
+    meta = mp4_meta(data)
+    assert (meta["width"], meta["height"]) == (9, 6)
+    assert (meta["se_width"], meta["se_height"]) == (9, 6)
+    assert meta["timescale"] == 8
+    assert meta["total_frames"] == 3 and meta["handler"] == "jpeg"
+    out = decode_mp4(data)
+    assert [t for t, _ in out] == [0, 125, 250]
+    for (_, img), v in zip(out, values):
+        assert img.shape == (6, 9, 3)
+        assert (img == v).all()  # flat q100 JPEG decodes exactly
+
+
+def test_mp4_timestamps_integer_floor():
+    from safedata_validator_spark.functions.mp4 import decode_mp4
+
+    data = _mk_mp4([1, 2, 3, 4], fps=7)
+    assert [t for t, _ in decode_mp4(data)] == [0, 142, 285, 428]
+
+
+@pytest.mark.parametrize("spc", [1, 2, 3, 5, None])
+def test_mp4_chunk_map_layouts(spc):
+    # every samples_per_chunk layout (incl. ragged last chunk -> two stsc
+    # entries) must resolve the same sample offsets through stsc/stco
+    from safedata_validator_spark.functions.jpeg import encode_jpeg
+    from safedata_validator_spark.functions.mp4 import encode_mp4, mp4_frames
+
+    jpegs = [encode_jpeg(np.full((2, 3), v, np.uint8), quality=100)
+             for v in (7, 99, 200, 31, 140)]
+    data = encode_mp4(jpegs, width=3, height=2, fps=9, samples_per_chunk=spc)
+    _, frames = mp4_frames(data)
+    assert [f for _, f in frames] == jpegs
+    assert [t for t, _ in frames] == [i * 1000 // 9 for i in range(5)]
+
+
+def test_mp4_multi_entry_stts():
+    # hand-patch stts into two entries (2 samples at delta 1, 2 at delta 3)
+    # to gate the cumulative-delta walk beyond the constant-delta writer
+    import struct
+
+    from safedata_validator_spark.functions.mp4 import mp4_frames
+
+    data = bytearray(_mk_mp4([1, 2, 3, 4], fps=10))
+    i = data.find(b"stts")
+    assert struct.unpack_from(">III", data, i + 8) == (1, 4, 1)
+    new_body = struct.pack(">I", 0) + struct.pack(">IIIII", 2, 2, 1, 2, 3)
+    new_box = struct.pack(">I", 8 + len(new_body)) + b"stts" + new_body
+    old_len = struct.unpack_from(">I", data, i - 4)[0]
+    patched = bytes(data[: i - 4]) + new_box + bytes(data[i - 4 + old_len :])
+    # grow every ancestor box size (moov/trak/mdia/minf/stbl) by the delta
+    delta = len(new_box) - old_len
+    out = bytearray(patched)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = out.find(tag)
+        sz = struct.unpack_from(">I", out, j - 4)[0]
+        struct.pack_into(">I", out, j - 4, sz + delta)
+    _, frames = mp4_frames(bytes(out))
+    # cum deltas 0,1,2,5 at timescale 10 -> ms floor
+    assert [t for t, _ in frames] == [0, 100, 200, 500]
+
+
+def test_mp4_decode_frames_seam():
+    from safedata_validator_spark.functions.multimodal import decode_frames
+
+    out = decode_frames(_mk_mp4([5, 200], fps=10))
+    assert [(t, img.shape) for t, img in out] == [(0, (6, 9, 3)), (100, (6, 9, 3))]
+
+
+def test_mp4_rejects_malformed():
+    import struct
+
+    from safedata_validator_spark.functions.mp4 import (
+        MP4Error,
+        decode_mp4,
+        encode_mp4,
+        is_mp4,
+        mp4_meta,
+    )
+
+    assert not is_mp4(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(MP4Error, match="no moov"):
+        decode_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+    data = _mk_mp4([1, 2])
+    with pytest.raises(MP4Error):
+        decode_mp4(data[: len(data) // 2])  # moov truncated away
+    # non-MJPEG sample payload behind a valid container
+    bad = encode_mp4([b"not a jpeg stream!"], width=2, height=2, fps=5)
+    with pytest.raises(MP4Error, match="not MJPEG"):
+        decode_mp4(bad)
+    with pytest.raises(MP4Error):
+        encode_mp4([], width=2, height=2)
+    with pytest.raises(MP4Error):
+        encode_mp4([b"x"], width=2, height=2, fps=0)
+    # headers present but no video handler: flip 'vide' to 'soun'
+    mut = bytearray(data)
+    i = mut.find(b"vide")
+    mut[i : i + 4] = b"soun"
+    with pytest.raises(MP4Error, match="no video track"):
+        mp4_meta(bytes(mut))
+    # stsz declaring more samples than the chunk map / stts cover: header
+    # parse (mp4_meta) succeeds, the frame walk must fail
+    from safedata_validator_spark.functions.mp4 import mp4_frames
+
+    mut2 = bytearray(data)
+    j = mut2.find(b"stsz")
+    struct.pack_into(">II", mut2, j + 8, 10, 99)  # fixed size 10, count 99
+    assert mp4_meta(bytes(mut2))["total_frames"] == 99
+    with pytest.raises(MP4Error, match="chunk map covers fewer"):
+        mp4_frames(bytes(mut2))

@@ -25,6 +25,7 @@ from hypothesis import strategies as st
 from safedata_validator_spark.functions.avi import avi_frames, encode_avi
 from safedata_validator_spark.functions.gif import decode_gif, encode_gif
 from safedata_validator_spark.functions.jpeg import decode_jpeg, encode_jpeg, to_rgb
+from safedata_validator_spark.functions.mp4 import encode_mp4, mp4_frames
 from safedata_validator_spark.functions.png import decode_png, encode_png
 from safedata_validator_spark.functions.wav import decode_wav, encode_wav
 
@@ -122,6 +123,26 @@ def test_avi_container_framing_property(sizes, fps, seed):
     payloads = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes() for n in sizes]
     meta, frames = avi_frames(encode_avi(payloads, width=4, height=4, fps=fps))
     assert meta["rate"] == fps and meta["total_frames"] == len(payloads)
+    assert [f for _, f in frames] == payloads
+    assert [t for t, _ in frames] == [i * 1000 // fps for i in range(len(payloads))]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6),
+    fps=st.integers(min_value=1, max_value=60),
+    spc=st.one_of(st.none(), st.integers(min_value=1, max_value=7)),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_mp4_container_framing_property(sizes, fps, spc, seed):
+    # any chunk layout (incl. ragged last chunks) returns the exact payload
+    # bytes in order with the stts-derived integer-floor timestamps
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes() for n in sizes]
+    meta, frames = mp4_frames(
+        encode_mp4(payloads, width=4, height=4, fps=fps, samples_per_chunk=spc)
+    )
+    assert meta["timescale"] == fps and meta["total_frames"] == len(payloads)
     assert [f for _, f in frames] == payloads
     assert [t for t, _ in frames] == [i * 1000 // fps for i in range(len(payloads))]
 
