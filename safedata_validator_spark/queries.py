@@ -2583,6 +2583,141 @@ FROM normed n JOIN keepers k USING (norm)
 """
 
 
+#: streaming drift gate: histogram domain over events.value and the batch
+#: split timestamp (events span 2024-01; batch 0 = first half of the month)
+DRIFT_STREAM_LO, DRIFT_STREAM_HI, DRIFT_STREAM_BINS = 0.0, 200.0, 8
+DRIFT_STREAM_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER by necessity: real two-micro-batch streaming run of the
+    windowed-histogram drift monitor (streaming.drift_stream) — day windows
+    over events.ts, watermark delay 0, append mode. Batch 0 = the first
+    half of the month, batch 1 = the rest, so the split-day window's
+    histogram state must carry across the micro-batch boundary and every
+    closed window must emit exactly once (window.end <= final watermark =
+    max ts). The emitted histograms are then scored against the full-table
+    baseline histogram with the SAME batch code path (PSI + KS via
+    engine.drift.compare_histograms). The oracle replays everything in
+    SQL, including the append-mode emission rule: only windows whose end
+    <= max(ts) appear."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from safedata_validator_spark.engine.drift import histogram
+    from safedata_validator_spark.streaming.drift_stream import (
+        score_drift_windows,
+        windowed_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/sdv_stream_drift_gate_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    os.makedirs(src)
+    split = F.lit(DRIFT_STREAM_SPLIT).cast("timestamp")
+    now = None
+    for i, part in enumerate(
+        (ev.where(F.col("ts") < split), ev.where(F.col("ts") >= split))
+    ):
+        stage = f"{root}/stage{i}"
+        part.coalesce(1).write.parquet(stage)
+        (pf,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copyfile(pf, dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    hist = windowed_histogram(
+        stream,
+        "value",
+        DRIFT_STREAM_LO,
+        DRIFT_STREAM_HI,
+        DRIFT_STREAM_BINS,
+        ts_col="ts",
+        window_dur="1 day",
+        delay="0 seconds",
+    )
+    qname = "sdv_stream_drift_gate"
+    q = (
+        hist.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(qname).collect()
+    hist_df = spark.createDataFrame(rows, hist.schema)
+    base = histogram(
+        ev, "value", DRIFT_STREAM_LO, DRIFT_STREAM_HI, DRIFT_STREAM_BINS
+    ).select("bucket", "n")
+    out = score_drift_windows(hist_df, base)
+    return out.select(
+        "win_start",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    ).orderBy("win_start")
+
+
+_DRIFT_STREAM_W = (DRIFT_STREAM_HI - DRIFT_STREAM_LO) / DRIFT_STREAM_BINS
+
+SQL_STREAM_DRIFT_EVENTS = f"""
+WITH src AS (
+  SELECT ts,
+         CASE WHEN value < {DRIFT_STREAM_LO} THEN 0
+              WHEN value >= {DRIFT_STREAM_HI} THEN {DRIFT_STREAM_BINS + 1}
+              ELSE 1 + CAST(floor((value - {DRIFT_STREAM_LO}) / {_DRIFT_STREAM_W}) AS INT)
+         END AS bucket
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+-- append-mode emission: a day window is in the output iff its end passed
+-- the final watermark (= max event time at delay 0)
+hist AS (
+  SELECT date_trunc('day', ts) AS ws, bucket, count(*) AS n
+  FROM src
+  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT max(ts) FROM events)
+  GROUP BY 1, 2
+),
+base AS (SELECT bucket, count(*) AS n FROM src GROUP BY 1),
+grid AS (
+  SELECT ws, bucket
+  FROM (SELECT DISTINCT ws FROM hist)
+  CROSS JOIN (SELECT bucket FROM base UNION SELECT bucket FROM hist)
+),
+pr AS (
+  SELECT g.ws, g.bucket,
+         COALESCE(h.n, 0) / CAST((SELECT sum(n) FROM hist h2 WHERE h2.ws = g.ws) AS DOUBLE) AS p,
+         COALESCE(b.n, 0) / CAST((SELECT sum(n) FROM base) AS DOUBLE) AS q
+  FROM grid g
+  LEFT JOIN hist h ON h.ws = g.ws AND h.bucket = g.bucket
+  LEFT JOIN base b ON b.bucket = g.bucket
+),
+c AS (
+  SELECT ws, p, q,
+         sum(p) OVER (PARTITION BY ws ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(q) OVER (PARTITION BY ws ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+  FROM pr
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi,
+       round(max(abs(cp - cq)), 6) AS ks
+FROM c GROUP BY ws ORDER BY win_start
+"""
+
+
 def q_stream_sequence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EAGER by necessity: runs an actual two-micro-batch streaming query
     (file source, maxFilesPerTrigger=1, fresh checkpoint) and returns the
@@ -2789,6 +2924,7 @@ QUERIES = {
     # stateful streaming == batch SQL (two real micro-batches, carried state)
     "stream_dedup_events": q_stream_dedup_events,
     "stream_sequence_events": q_stream_sequence_events,
+    "stream_drift_events": q_stream_drift_events,
     # live recall vs the exact top-k; only the floor is pinned
     "ann_recall": q_ann_recall,
     # pinned golden VALUES oracle (independent purepy_ref BPE)
@@ -2845,6 +2981,7 @@ ORACLES = {
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "stream_sequence_events": SQL_STREAM_SEQUENCE_EVENTS,
     "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
+    "stream_drift_events": SQL_STREAM_DRIFT_EVENTS,
     "ann_recall": SQL_ANN_RECALL,
     "media_features": SQL_MEDIA_FEATURES,
     "quality_docs": SQL_QUALITY_DOCS,

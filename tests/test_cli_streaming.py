@@ -286,3 +286,84 @@ def test_drop_exact_dups_watermarked(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.table("wm_gate_test").collect())
     assert kept == [1, 3]
     assert "__fp" not in spark.table("wm_gate_test").columns
+
+
+def test_windowed_histogram_drift_across_batches(spark, tmp_path):
+    """Streaming drift monitor: histogram state for the window spanning the
+    batch boundary must combine counts from both micro-batches; append mode
+    emits exactly the windows whose end passed the final watermark; under/
+    overflow buckets and NULL values follow the batch engine's width_bucket
+    semantics; scoring a window against itself yields psi = ks = 0."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from safedata_validator_spark.streaming.drift_stream import (
+        score_drift_windows,
+        windowed_histogram,
+    )
+
+    src = str(tmp_path / "dr_src")
+    os.makedirs(src)
+    schema = "id long, ts timestamp, value double"
+    h = lambda hh, mm=0: datetime(2024, 1, 1, hh, mm)
+    # hour windows; batch 0 covers 10:00-11:30, batch 1 covers 11:30-13:00
+    # -> the 11:00 window needs state carried across the boundary
+    b0 = [
+        (1, h(10, 5), 5.0), (2, h(10, 10), 15.0), (3, h(10, 20), -1.0),  # underflow
+        (4, h(10, 30), 999.0),                                           # overflow
+        (5, h(10, 40), None),                                            # dropped
+        (6, h(11, 10), 5.0), (7, h(11, 20), 5.0),
+    ]
+    b1 = [
+        (8, h(11, 40), 15.0), (9, h(11, 50), 5.0),
+        (10, h(12, 10), 5.0), (11, h(13, 0), 5.0),  # 13:00 row: watermark anchor
+    ]
+    now = None
+    for i, rows in enumerate((b0, b1)):
+        stage = str(tmp_path / f"dr_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        (pf,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copyfile(pf, dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        os.utime(dst, (now - 120 + 60 * i, now - 120 + 60 * i))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    hist = windowed_histogram(
+        stream, "value", 0.0, 20.0, 2, ts_col="ts", window_dur="1 hour",
+        delay="0 seconds",
+    )
+    q = (
+        hist.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dr_gate_test")
+        .option("checkpointLocation", str(tmp_path / "dr_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("dr_gate_test").collect()
+    got = {(r["win_start"].hour, r["bucket"]): r["n"] for r in rows}
+    # watermark = 13:00 -> windows 10:00 and 11:00 and 12:00 emit (end <= 13:00);
+    # the 13:00 window stays open
+    assert {ws for ws, _ in got} == {10, 11, 12}
+    # 10:00 window: value 5 -> bucket 1, 15 -> 2, -1 -> 0, 999 -> 3, NULL dropped
+    assert got[(10, 1)] == 1 and got[(10, 2)] == 1
+    assert got[(10, 0)] == 1 and got[(10, 3)] == 1
+    # 11:00 window spans both batches: 2+1 rows in bucket 1, 1 row in bucket 2
+    assert got[(11, 1)] == 3 and got[(11, 2)] == 1
+    assert got[(12, 1)] == 1
+
+    # scoring the 11:00 window against its own histogram: zero drift
+    hist_df = spark.createDataFrame(rows, hist.schema)
+    win11 = hist_df.where("hour(win_start) = 11")
+    base = win11.select("bucket", "n")
+    scored = {r["win_start"]: r for r in score_drift_windows(hist_df, base).collect()}
+    z = scored["2024-01-01 11:00:00"]
+    assert abs(z["psi"]) < 1e-9 and abs(z["ks"]) < 1e-12
+    # the 10:00 window (mass in under/overflow) must show positive drift
+    d = scored["2024-01-01 10:00:00"]
+    assert d["psi"] > 0.1 and d["ks"] > 0.1

@@ -225,6 +225,7 @@ EAGER_BY_DESIGN = {
     "ivf_ann_topk",
     "stream_sequence_events",
     "stream_dedup_events",  # runs a real two-micro-batch streaming query
+    "stream_drift_events",  # runs a real two-micro-batch streaming query
     "ann_recall",
     "dedup_clusters_docs",  # iterative star-contraction: per-round actions
     "curate_corpus_cluster",  # same star contraction inside the pipeline
