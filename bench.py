@@ -79,7 +79,7 @@ def host_probe(procs: int) -> dict:
 def run(spark, sf_dir: str, sf: float) -> dict:
     from safedata_validator_spark.data.synth import dims, transcripts_scaled
     from safedata_validator_spark.engine.validator import ValidationEngine
-    from safedata_validator_spark.queries import QUERIES
+    from safedata_validator_spark.queries import BENCH_QUERIES as QUERIES
     from safedata_validator_spark.rules.presets import transcript_ruleset
 
     # JVM/codegen warm-up so the first timed query isn't charged for it.
@@ -201,6 +201,18 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     }
 
 
+#: a measurement window is declared CONTENDED when the 100MB-streaming
+#: probe's wall time drifts by more than this factor between the before and
+#: after probes — the r4 contaminated window showed 6.6× (2.48 s → 16.34 s)
+#: while clean windows stay within ~1.2×. Spark scan/shuffle work is
+#: bandwidth-bound, so a drifting stream probe means the suite timings mix
+#: two different machines' worth of memory bandwidth.
+CONTENTION_RATIO = float(os.environ.get("SDV_BENCH_CONTENTION_RATIO", "1.5"))
+#: bounded retries: rerun the whole suite at most this many times total
+#: while the window keeps coming back contended, then stamp it honestly
+MAX_ATTEMPTS = int(os.environ.get("SDV_BENCH_MAX_ATTEMPTS", "2"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
@@ -209,14 +221,44 @@ def main() -> None:
 
     from safedata_validator_spark.session import build_session
 
-    probe_before = host_probe(int(cpus))
     spark = build_session(
         app_name="sdv-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
-    out = run(spark, sf_dir, sf)
-    probe_after = host_probe(int(cpus))
+    # contention-aware protocol (VERDICT r04 §wrong 2): probe host memory
+    # bandwidth before and after the suite; if the window drifted, the
+    # numbers are not the engine's — rerun (bounded), else stamp the JSON
+    # "window": "contended" so a bad artifact can never masquerade as a
+    # code regression. The best (least-drifted) attempt is reported.
+    attempts = []
+    best = None
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        probe_before = host_probe(int(cpus))
+        out = run(spark, sf_dir, sf)
+        probe_after = host_probe(int(cpus))
+        a, b = probe_before["stream_sec"], probe_after["stream_sec"]
+        drift = round(max(a, b) / max(min(a, b), 1e-9), 3)
+        rec = {
+            "out": out,
+            "probe_before": probe_before,
+            "probe_after": probe_after,
+            "drift": drift,
+        }
+        attempts.append(
+            {"attempt": attempt, "stream_before": a, "stream_after": b, "drift": drift}
+        )
+        if best is None or drift < best["drift"]:
+            best = rec
+        if drift <= CONTENTION_RATIO:
+            break
+        print(
+            f"bench window contended (stream probe drift {drift}x > "
+            f"{CONTENTION_RATIO}x), attempt {attempt}/{MAX_ATTEMPTS}",
+            file=sys.stderr,
+        )
+    out = best["out"]
+    window = "clean" if best["drift"] <= CONTENTION_RATIO else "contended"
     total = round(sum(out["timings"].values()), 3)
     print(
         json.dumps(
@@ -231,8 +273,12 @@ def main() -> None:
                 "turns_per_sec": round(out["n_turns"] / out["validate_sec"], 1),
                 "validated_turns": out["n_turns"],
                 "cpus": int(cpus),
-                "host_probe_before": probe_before,
-                "host_probe_after": probe_after,
+                "host_probe_before": best["probe_before"],
+                "host_probe_after": best["probe_after"],
+                "window": window,
+                "probe_drift_ratio": best["drift"],
+                "contention_ratio_threshold": CONTENTION_RATIO,
+                "attempts": attempts,
             }
         )
     )

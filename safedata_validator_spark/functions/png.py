@@ -56,7 +56,10 @@ def _chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PNGError("truncated chunk")
-        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        crc_raw = data[pos + 8 + length : pos + 12 + length]
+        if len(crc_raw) != 4:
+            raise PNGError("truncated chunk CRC")
+        crc = struct.unpack(">I", crc_raw)[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise PNGError(f"bad CRC in {tag!r}")
         yield tag, body

@@ -1398,35 +1398,87 @@ GROUP BY d.source
 SQL_MIXTURE_RESAMPLE_DOCS = _sql_mixture_resample()
 
 
-def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: token budget for the exact-BPE packing branch (docs here average ~50 BPE
+#: tokens, so ~6 docs share a training sequence — the interesting regime)
+PACK_BUDGET_TOKENS = 300
+
+
+def _pack_rollup(packed: DataFrame, size_col: str, basis: str) -> DataFrame:
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(size_col).cast("bigint").alias("seq_units"),
+            F.min("start_offset").alias("first_offset"),
+        )
+        .select(F.lit(basis).alias("size_basis"), "*")
+    )
+
+
+def q_pack_sequences_chars_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (functions.sampling.pack_sequences):
     docs laid head-to-tail per source in doc_id order, cut into
     {PACK_BUDGET}-char sequences; rolled up per (source, seq_id). The
     running-sum window is bounded by the source partition — no global
-    sort."""
+    sort. Chars-only branch, kept under the r2-r4 bench name so the
+    curation-suite composition stays comparable round-over-round."""
     from safedata_validator_spark.functions import sampling as sp
 
     d = _t(spark, sf_dir, "documents")
     packed = sp.pack_sequences(d, "doc_id", "n_chars", PACK_BUDGET, part_cols=("source",))
-    return packed.groupBy("source", "seq_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("seq_chars"),
-        F.min("start_offset").alias("first_offset"),
+    return _pack_rollup(packed, "n_chars", "chars")
+
+
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on BOTH size feeds, discriminated by ``size_basis``:
+    the cheap ``n_chars`` column ('chars', budget {PACK_BUDGET}) and the
+    EXACT byte-level-BPE token count ('bpe', budget {PACK_BUDGET_TOKENS},
+    functions.bpe.bpe_count — the count a trainer would bill against,
+    VERDICT r04 §next 6). Both branches are the same partition-bounded
+    running-sum window; the BPE feed adds one zero-shuffle Arrow-batched
+    projection. Oracle: the packing arithmetic runs live in DuckDB SQL,
+    with only the non-SQL-expressible per-doc token counts pinned as a
+    VALUES table (independently cross-checked by the token_count_docs
+    golden + tools/purepy_ref.py)."""
+    from safedata_validator_spark.functions import bpe, sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    chars = sp.pack_sequences(d, "doc_id", "n_chars", PACK_BUDGET, part_cols=("source",))
+    dt = d.select("source", "doc_id", bpe.bpe_count(F.col("text")).alias("n_bpe"))
+    tok = sp.pack_sequences(dt, "doc_id", "n_bpe", PACK_BUDGET_TOKENS, part_cols=("source",))
+    return _pack_rollup(chars, "n_chars", "chars").unionByName(
+        _pack_rollup(tok, "n_bpe", "bpe")
     )
 
 
-SQL_PACK_SEQUENCES_DOCS = f"""
-WITH packed AS (
-  SELECT source, doc_id, n_chars,
-         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS start_offset
-  FROM documents
+def sql_pack_sequences_docs(tok_values_sql: str) -> str:
+    """DuckDB oracle for q_pack_sequences_docs, composed by
+    tools/gen_golden_oracles.py: ``tok_values_sql`` is a pinned VALUES table
+    (doc_id, n_bpe_tokens) from the independent purepy BPE — everything
+    else (both packing branches, the rollup) is computed live by DuckDB."""
+    return f"""
+WITH tok AS ({tok_values_sql}),
+base AS (
+  SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id,
+         CAST(d.n_chars AS BIGINT) AS n_chars, CAST(t.n_bpe_tokens AS BIGINT) AS n_bpe
+  FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+), u AS (
+  SELECT 'chars' AS size_basis, source, doc_id, n_chars AS sz,
+         {PACK_BUDGET} AS budget FROM base
+  UNION ALL
+  SELECT 'bpe', source, doc_id, n_bpe, {PACK_BUDGET_TOKENS} FROM base
+), offs AS (
+  SELECT size_basis, source, doc_id, sz, budget,
+         CAST(sum(sz) OVER (PARTITION BY size_basis, source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - sz AS BIGINT) AS start_offset
+  FROM u
 )
-SELECT source, CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+SELECT size_basis, source,
+       CAST(floor(start_offset / (budget * 1.0)) AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS seq_chars,
+       CAST(sum(sz) AS BIGINT) AS seq_units,
        min(start_offset) AS first_offset
-FROM packed GROUP BY source, seq_id
+FROM offs GROUP BY size_basis, source, seq_id
 """
 
 
@@ -1989,6 +2041,25 @@ FROM p
 """
 
 
+def q_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG + baseline-JPEG decode audits folded into ONE catalog gate with a
+    ``format`` discriminator column (the driver's correctness sweep checks
+    the first 50 catalog entries, so sibling gates with identical schemas
+    are consolidated to keep EVERY codec value-checked every round —
+    VERDICT r04 §next 3). Each branch is exactly the standalone audit:
+    see q_png_decode_audit / q_jpeg_decode_audit for what it gates."""
+    png = q_png_decode_audit(spark, sf_dir).select(F.lit("png").alias("format"), "*")
+    jpg = q_jpeg_decode_audit(spark, sf_dir).select(F.lit("jpeg").alias("format"), "*")
+    return png.unionByName(jpg)
+
+
+SQL_IMAGE_DECODE_AUDIT = f"""
+SELECT 'png' AS format, * FROM ({SQL_PNG_DECODE_AUDIT})
+UNION ALL
+SELECT 'jpeg' AS format, * FROM ({SQL_JPEG_DECODE_AUDIT})
+"""
+
+
 _AUDIO_AUDIT_DOCS = 96
 
 
@@ -2391,6 +2462,24 @@ FROM f
 """
 
 
+def q_video_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-AVI + MJPEG-MP4 container decode audits folded into ONE catalog
+    gate with a ``container`` discriminator column (driver caps the
+    correctness sweep at 50 catalog entries — VERDICT r04 §next 3). Each
+    branch is exactly the standalone audit: see q_avi_frames_audit /
+    q_mp4_frames_audit for what it gates."""
+    avi = q_avi_frames_audit(spark, sf_dir).select(F.lit("avi").alias("container"), "*")
+    mp4 = q_mp4_frames_audit(spark, sf_dir).select(F.lit("mp4").alias("container"), "*")
+    return avi.unionByName(mp4)
+
+
+SQL_VIDEO_FRAMES_AUDIT = f"""
+SELECT 'avi' AS container, * FROM ({SQL_AVI_FRAMES_AUDIT})
+UNION ALL
+SELECT 'mp4' AS container, * FROM ({SQL_MP4_FRAMES_AUDIT})
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
     LSH (coarse k-means quantizer + inverted-list probing)."""
@@ -2400,6 +2489,17 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim.ivf_topk(e, queries, k=TOPK_K, n_centroids=16, nprobe=4)
     return out.select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN top-k scale paths (sign-LSH, IVF) folded into ONE catalog
+    gate with a ``backend`` discriminator column (driver caps the
+    correctness sweep at 50 catalog entries — VERDICT r04 §next 3). Each
+    branch is exactly the standalone query; the pinned golden VALUES oracle
+    (tools/gen_golden_oracles.py) carries both backends."""
+    lsh = q_lsh_ann_topk(spark, sf_dir).select(F.lit("lsh").alias("backend"), "*")
+    ivf = q_ivf_ann_topk(spark, sf_dir).select(F.lit("ivf").alias("backend"), "*")
+    return lsh.unionByName(ivf)
 
 
 # --------------------------------------------------------------------------
@@ -2903,12 +3003,10 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "wkt_geo_audit": q_wkt_geo_audit,
     "ogc_validity_audit": q_ogc_validity_audit,
-    "png_decode_audit": q_png_decode_audit,
-    "jpeg_decode_audit": q_jpeg_decode_audit,
+    "image_decode_audit": q_image_decode_audit,
     "audio_features_audit": q_audio_features_audit,
     "gif_frames_audit": q_gif_frames_audit,
-    "avi_frames_audit": q_avi_frames_audit,
-    "mp4_frames_audit": q_mp4_frames_audit,
+    "video_frames_audit": q_video_frames_audit,
     "curate_corpus": q_curate_corpus,
     "decontaminate_docs": q_decontaminate_docs,
     "pii_audit_docs": q_pii_audit_docs,
@@ -2933,20 +3031,33 @@ QUERIES = {
     "minhash_lsh_docs": q_minhash_lsh_docs,
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "winnow_overlap_docs": q_winnow_overlap_docs,
+}
+
+#: standalone per-backend / per-format callables kept OUT of the driver
+#: catalog (capped at 50 entries) but addressable by bench.py, whose
+#: headline composition must stay comparable round-over-round
+BENCH_QUERIES = {
+    **QUERIES,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
-    "winnow_overlap_docs": q_winnow_overlap_docs,
+    "png_decode_audit": q_png_decode_audit,
+    "jpeg_decode_audit": q_jpeg_decode_audit,
+    "avi_frames_audit": q_avi_frames_audit,
+    "mp4_frames_audit": q_mp4_frames_audit,
+    # chars-only packing under the r2-r4 name so the timed curation-suite
+    # composition stays comparable (the catalog entry now adds a BPE branch)
+    "pack_sequences_docs": q_pack_sequences_chars_docs,
 }
 
 ORACLES = {
     "wkt_geo_audit": SQL_WKT_GEO_AUDIT,
     "ogc_validity_audit": SQL_OGC_VALIDITY_AUDIT,
-    "png_decode_audit": SQL_PNG_DECODE_AUDIT,
-    "jpeg_decode_audit": SQL_JPEG_DECODE_AUDIT,
+    "image_decode_audit": SQL_IMAGE_DECODE_AUDIT,
     "audio_features_audit": SQL_AUDIO_FEATURES_AUDIT,
     "gif_frames_audit": SQL_GIF_FRAMES_AUDIT,
-    "avi_frames_audit": SQL_AVI_FRAMES_AUDIT,
-    "mp4_frames_audit": SQL_MP4_FRAMES_AUDIT,
+    "video_frames_audit": SQL_VIDEO_FRAMES_AUDIT,
     "curate_corpus": SQL_CURATE_CORPUS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "pii_audit_docs": SQL_PII_AUDIT_DOCS,
@@ -2954,7 +3065,8 @@ ORACLES = {
     "dedup_clusters_docs": SQL_DEDUP_CLUSTERS_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
     "mixture_resample_docs": SQL_MIXTURE_RESAMPLE_DOCS,
-    "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
+    # pack_sequences_docs: composed golden oracle (live DuckDB packing SQL
+    # over pinned per-doc BPE token counts) — merged in via GOLDEN_ORACLES
     "curate_corpus_cluster": SQL_CURATE_CORPUS_CLUSTER,
     "url_audit_docs": SQL_URL_AUDIT_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,

@@ -164,3 +164,118 @@ def test_jpeg_q100_flat_exact_property(h, w, v, layout):
     out = to_rgb(decode_jpeg(data))
     assert out.shape == (h, w, 3)
     assert (out == v).all()
+
+
+# ---------------------------------------------------------------------------
+# Adversarial robustness (VERDICT r04 §next 8): for ANY truncation or
+# single-byte corruption of a valid payload, every container walker /
+# decoder either returns a result or raises its TYPED error (a ValueError
+# subclass) — never an untyped crash (struct.error, IndexError,
+# OverflowError, MemoryError from a bogus size field, ...) that would
+# abort a whole Arrow batch in the mapInPandas UDFs.
+# ---------------------------------------------------------------------------
+
+
+def _real_avi(seed: int, nf: int, fps: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, size=(4, 5), dtype=np.uint8), quality=90)
+        for _ in range(nf)
+    ]
+    return encode_avi(frames, width=5, height=4, fps=fps)
+
+
+def _real_mp4(seed: int, nf: int, fps: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, size=(4, 5), dtype=np.uint8), quality=90)
+        for _ in range(nf)
+    ]
+    return encode_mp4(frames, width=5, height=4, fps=fps, samples_per_chunk=2)
+
+
+def _assert_typed(decode, data: bytes) -> None:
+    try:
+        decode(data)
+    except ValueError:
+        pass  # typed rejection (every codec error subclasses ValueError)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    nf=st.integers(min_value=1, max_value=4),
+    fps=st.integers(min_value=1, max_value=30),
+    cut=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_avi_truncation_typed_errors(seed, nf, fps, cut):
+    data = _real_avi(seed, nf, fps)
+    _assert_typed(lambda d: avi_frames(d), data[: int(len(data) * cut)])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    nf=st.integers(min_value=1, max_value=4),
+    fps=st.integers(min_value=1, max_value=30),
+    pos=st.floats(min_value=0.0, max_value=1.0),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_avi_corruption_typed_errors(seed, nf, fps, pos, val):
+    data = bytearray(_real_avi(seed, nf, fps))
+    data[min(int(len(data) * pos), len(data) - 1)] = val
+    _assert_typed(lambda d: avi_frames(d), bytes(data))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    nf=st.integers(min_value=1, max_value=4),
+    fps=st.integers(min_value=1, max_value=30),
+    cut=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_mp4_truncation_typed_errors(seed, nf, fps, cut):
+    data = _real_mp4(seed, nf, fps)
+    _assert_typed(lambda d: mp4_frames(d), data[: int(len(data) * cut)])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    nf=st.integers(min_value=1, max_value=4),
+    fps=st.integers(min_value=1, max_value=30),
+    pos=st.floats(min_value=0.0, max_value=1.0),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_mp4_corruption_typed_errors(seed, nf, fps, pos, val):
+    data = bytearray(_real_mp4(seed, nf, fps))
+    data[min(int(len(data) * pos), len(data) - 1)] = val
+    _assert_typed(lambda d: mp4_frames(d), bytes(data))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    kind=st.sampled_from(["png", "jpeg", "gif", "wav"]),
+    mode=st.sampled_from(["cut", "flip"]),
+    pos=st.floats(min_value=0.0, max_value=1.0),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_image_audio_mutation_typed_errors(seed, kind, mode, pos, val):
+    rng = np.random.default_rng(seed)
+    if kind == "png":
+        data, dec = encode_png(rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)), decode_png
+    elif kind == "jpeg":
+        data, dec = encode_jpeg(rng.integers(0, 256, (5, 4), dtype=np.uint8)), decode_jpeg
+    elif kind == "gif":
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        data, dec = encode_gif([rng.integers(0, 4, (5, 4), dtype=np.uint8)], pal), decode_gif
+    else:
+        data, dec = encode_wav(rng.integers(-100, 100, (50, 1)), 8000, bits=16), decode_wav
+    if mode == "cut":
+        data = data[: int(len(data) * pos)]
+    else:
+        b = bytearray(data)
+        b[min(int(len(b) * pos), len(b) - 1)] = val
+        data = bytes(b)
+    _assert_typed(dec, data)

@@ -213,7 +213,7 @@ def test_ann_plan_building_triggers_no_jobs(spark):
 #:   hierarchy_closure / hierarchy_congruence_events — build_closure's
 #:     loop-until-fixpoint needs an emptiness check per doubling round
 #:     (bounded by log2(max depth) jobs over the DIMENSION, not the fact);
-#:   ivf_ann_topk — k-means training for the coarse quantizer is iterative
+#:   ann_topk — the IVF branch trains a k-means coarse quantizer, iterative
 #:     by nature (bounded, runs on the sampled training slice);
 #:   stream_sequence_events — runs an actual two-micro-batch streaming query
 #:     and returns the materialized emissions (the POINT of the gate);
@@ -222,7 +222,7 @@ EAGER_BY_DESIGN = {
     "transcript_verdicts",
     "hierarchy_closure",
     "hierarchy_congruence_events",
-    "ivf_ann_topk",
+    "ann_topk",
     "stream_sequence_events",
     "stream_dedup_events",  # runs a real two-micro-batch streaming query
     "stream_drift_events",  # runs a real two-micro-batch streaming query

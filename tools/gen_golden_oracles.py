@@ -71,7 +71,7 @@ SPARK_TO_DUCK = {
 }
 
 
-def dtype_mismatches(sdf_schema, oracle_sql: str) -> list[str]:
+def dtype_mismatches(sdf_schema, oracle_sql: str, con=None) -> list[str]:
     """Execute a golden VALUES oracle through DuckDB and diff its column
     dtypes against the live Spark result schema.  Returns a list of
     human-readable mismatch strings (empty = parity).
@@ -83,7 +83,7 @@ def dtype_mismatches(sdf_schema, oracle_sql: str) -> list[str]:
     """
     import duckdb
 
-    rel = duckdb.connect().sql(oracle_sql)
+    rel = (con or duckdb.connect()).sql(oracle_sql)
     duck = {c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)}
     problems = []
     spark_cols = {f.name.lower(): f.dataType.simpleString() for f in sdf_schema.fields}
@@ -124,9 +124,25 @@ def main() -> int:
         [(a, b, round(s, 6)) for a, b, s in ref.embedding_near_dup_pairs(vecs, 0.3, nbits=8)],
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("sim", "DOUBLE")],
     )
-    expected["lsh_ann_topk"] = (
-        [(q, v, round(s, 4), r) for q, v, s, r in ref.lsh_topk(vecs, query_ids, k=5, nbits=8)],
-        [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("sim", "DOUBLE"), ("rank", "INTEGER")],
+    # both ANN backends in ONE golden, discriminated by a backend column —
+    # the catalog folds lsh/ivf top-k into a single ann_topk gate so the
+    # driver's 50-entry correctness sweep covers every operator each round
+    expected["ann_topk"] = (
+        [
+            ("lsh", q, v, round(s, 4), r)
+            for q, v, s, r in ref.lsh_topk(vecs, query_ids, k=5, nbits=8)
+        ]
+        + [
+            ("ivf", q, v, round(s, 4), r)
+            for q, v, s, r in ref.ivf_topk(vecs, query_ids, k=5, n_centroids=16, nprobe=4)
+        ],
+        [
+            ("backend", "VARCHAR"),
+            ("query_id", "BIGINT"),
+            ("vec_id", "BIGINT"),
+            ("sim", "DOUBLE"),
+            ("rank", "INTEGER"),
+        ],
     )
     from safedata_validator_spark.functions.bpe_vocab import MERGES
 
@@ -138,21 +154,69 @@ def main() -> int:
             ("n_regex_tokens", "INTEGER"),
         ],
     )
-    expected["ivf_ann_topk"] = (
-        [
-            (q, v, round(s, 4), r)
-            for q, v, s, r in ref.ivf_topk(vecs, query_ids, k=5, n_centroids=16, nprobe=4)
-        ],
-        [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("sim", "DOUBLE"), ("rank", "INTEGER")],
+    # ---- composed goldens: live DuckDB SQL over a pinned VALUES feed ----
+    # pack_sequences_docs packs on BOTH n_chars and the exact BPE count;
+    # only the non-SQL-expressible per-doc token counts are pinned — the
+    # packing arithmetic itself runs live in DuckDB (stronger than a full
+    # VALUES pin, same as the independent-cross-check bar).
+    from safedata_validator_spark.queries import (
+        PACK_BUDGET,
+        PACK_BUDGET_TOKENS,
+        sql_pack_sequences_docs,
     )
+
+    tok_rows = expected["token_count_docs"][0]
+    tok_sql = values_sql(
+        [(d, b) for d, b, _ in tok_rows],
+        [("doc_id", "BIGINT"), ("n_bpe_tokens", "INTEGER")],
+    )
+    n_bpe = {d: b for d, b, _ in tok_rows}
+    doc_meta = list(
+        zip(
+            docs_tbl["doc_id"].to_pylist(),
+            docs_tbl["source"].to_pylist(),
+            docs_tbl["n_chars"].to_pylist(),
+        )
+    )
+
+    def pack_rollup_py() -> list[tuple]:
+        out = []
+        for basis, budget, size_of in (
+            ("chars", PACK_BUDGET, lambda r: r[2]),
+            ("bpe", PACK_BUDGET_TOKENS, lambda r: n_bpe[r[0]]),
+        ):
+            by_src: dict[str, list] = {}
+            for r in doc_meta:
+                by_src.setdefault(r[1], []).append(r)
+            for src, rows in by_src.items():
+                rows = sorted(rows, key=lambda r: r[0])
+                off = 0
+                seqs: dict[int, list] = {}
+                for r in rows:
+                    sz = size_of(r)
+                    ent = seqs.setdefault(off // budget, [0, 0, off])
+                    ent[0] += 1
+                    ent[1] += sz
+                    off += sz
+                out += [
+                    (basis, src, seq, nd, su, fo)
+                    for seq, (nd, su, fo) in seqs.items()
+                ]
+        return out
+
+    composed = {
+        "pack_sequences_docs": (pack_rollup_py(), sql_pack_sequences_docs(tok_sql))
+    }
 
     # ---- cross-check against the live Spark queries -------------------
     from safedata_validator_spark.queries import QUERIES
     from safedata_validator_spark.session import build_session
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
+    emitted = {name: (rows, values_sql(rows, cols)) for name, (rows, cols) in expected.items()}
+    emitted.update(composed)
     mismatch = False
-    for name, (rows, cols) in expected.items():
+    for name, (rows, sql) in emitted.items():
         got = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
         want = sorted(tuple(r) for r in rows)
         if got != want:
@@ -166,8 +230,14 @@ def main() -> int:
     # ---- dtype parity: run each emitted VALUES through DuckDB and diff
     # its column types against the live Spark schema (value equality above
     # never sees the SQL casts, so it cannot catch a wrong cast)
-    for name, (rows, cols) in expected.items():
-        probs = dtype_mismatches(QUERIES[name](spark, sf_dir).schema, values_sql(rows, cols))
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name, (rows, sql) in emitted.items():
+        probs = dtype_mismatches(QUERIES[name](spark, sf_dir).schema, sql, con)
         if probs:
             mismatch = True
             print(f"FAIL {name} dtypes: {'; '.join(probs)}")
@@ -195,8 +265,8 @@ def main() -> int:
             f'PINNED_SF = "{PINNED_SF}"\n\n'
         )
         f.write("GOLDEN_ORACLES = {\n")
-        for name, (rows, cols) in expected.items():
-            f.write(f'    "{name}": """\n{values_sql(rows, cols)}\n""",\n')
+        for name, (rows, sql) in emitted.items():
+            f.write(f'    "{name}": """\n{sql}\n""",\n')
         f.write("}\n")
     print(f"wrote {out}")
     return 0
