@@ -59,8 +59,21 @@ from safedata_validator_spark.functions.pipeline import curate_documents
 # independent rule the same pair measures 0.90 (phase-level diagnostic,
 # round 3) — the plan scales, the old config didn't.
 parts = max(32, n_docs // 50_000)
+# SDV_BENCH_SPILL=1: write a Spark event log and fold per-level spill /
+# shuffle-write byte totals into the record — the r4 verdict's
+# "quote per-level shuffle-bytes" evidence path, now reproducible from
+# the committed harness instead of an ad-hoc probe script
+import os as _os
+spill_dir = None
+extra = {}
+if _os.environ.get("SDV_BENCH_SPILL") == "1":
+    import tempfile
+    spill_dir = tempfile.mkdtemp(prefix=f"sdv_evlog_{cores}_")
+    extra = {"spark.eventLog.enabled": "true",
+             "spark.eventLog.dir": f"file://{spill_dir}"}
 spark = build_session(app_name=f"sdv-dedup-scale-{cores}",
-                      master=f"local[{cores}]", shuffle_partitions=parts)
+                      master=f"local[{cores}]", shuffle_partitions=parts,
+                      extra_conf=extra)
 import hashlib, inspect
 gen_tag = hashlib.sha256(inspect.getsource(documents_scaled).encode()).hexdigest()[:8]
 src = f"/tmp/sdv_bench_docs_{n_docs}_{gen_tag}_c64"
@@ -121,6 +134,27 @@ rec = {"cores": cores}
 for name, _ in jobs:
     rec[f"{name}_sec"] = timings[name]
     rec[f"{name}_docs_per_sec"] = n_docs / timings[name]
+if spill_dir is not None:
+    # sum per-task Memory/Disk Bytes Spilled and Shuffle Bytes Written
+    # from the event log (covers warm-up too — warm-up is a 50k-doc slice,
+    # negligible against the timed 10M-doc job)
+    spark.stop()  # flush the event log
+    import glob
+    mem = disk = shw = 0
+    for path in glob.glob(spill_dir + "/*"):
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                m = ev.get("Task Metrics") or {}
+                mem += m.get("Memory Bytes Spilled", 0)
+                disk += m.get("Disk Bytes Spilled", 0)
+                shw += (m.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0)
+    rec["memory_spill_bytes"] = mem
+    rec["disk_spill_bytes"] = disk
+    rec["shuffle_write_bytes"] = shw
 print(json.dumps(rec))
 """
 
