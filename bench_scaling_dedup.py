@@ -70,6 +70,7 @@ if _os.environ.get("SDV_BENCH_SPILL") == "1":
     import tempfile
     spill_dir = tempfile.mkdtemp(prefix=f"sdv_evlog_{cores}_")
     extra = {"spark.eventLog.enabled": "true",
+             "spark.eventLog.compress": "false",
              "spark.eventLog.dir": f"file://{spill_dir}"}
 spark = build_session(app_name=f"sdv-dedup-scale-{cores}",
                       master=f"local[{cores}]", shuffle_partitions=parts,
@@ -141,7 +142,10 @@ if spill_dir is not None:
     spark.stop()  # flush the event log
     import glob
     mem = disk = shw = 0
-    for path in glob.glob(spill_dir + "/*"):
+    # Spark 4 rolling event log: a directory per app with events_* files
+    paths = [p for p in glob.glob(spill_dir + "/**", recursive=True)
+             if _os.path.isfile(p) and "appstatus" not in _os.path.basename(p)]
+    for path in paths:
         with open(path) as fh:
             for line in fh:
                 if '"SparkListenerTaskEnd"' not in line:
