@@ -59,6 +59,15 @@ from safedata_validator_spark.functions.pipeline import curate_documents
 # independent rule the same pair measures 0.90 (phase-level diagnostic,
 # round 3) — the plan scales, the old config didn't.
 parts = max(32, n_docs // 50_000)
+# SDV_BENCH_MEM_PER_CORE=<g>: give each level heap PROPORTIONAL to its
+# core count (the real-cluster model — going N→4N executors multiplies
+# total executor memory by 4; a fixed single-JVM heap instead shrinks
+# per-task memory 4x at the wide level, a local-mode artifact the
+# spill-bytes evidence pins). Unset = the fixed-heap legacy protocol.
+import os as _os0
+mem_per_core = _os0.environ.get("SDV_BENCH_MEM_PER_CORE")
+if mem_per_core:
+    _os0.environ["SPARK_DRIVER_MEM"] = f"{int(mem_per_core) * int(sys.argv[2])}g"
 # SDV_BENCH_SPILL=1: write a Spark event log and fold per-level spill /
 # shuffle-write byte totals into the record — the r4 verdict's
 # "quote per-level shuffle-bytes" evidence path, now reproducible from
