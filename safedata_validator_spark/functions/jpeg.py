@@ -1,13 +1,17 @@
 """Built-in baseline JPEG codec — pure stdlib + numpy, no image libraries.
 
 First-principles implementation of the PUBLIC spec (ITU-T T.81 / ISO 10918-1;
-tables from Annex K, entropy coding per Annex F): baseline sequential DCT,
-8-bit, Huffman entropy coding. The encoder writes 4:4:4 (or single-component
-grayscale) with the Annex K quantization + Huffman tables; the decoder reads
-baseline SOF0 streams with 4:4:4, 4:2:0 and 4:2:2 chroma subsampling,
-restart markers, and 1- or 3-component scans — enough for the encode→decode
-round trip audits and for typical camera/tool output. Progressive (SOF2),
-arithmetic coding, and 12-bit precision are out of scope and raise
+tables from Annex K, entropy coding per Annex F, progressive mode per
+Annex G): baseline sequential AND progressive DCT, 8-bit, Huffman entropy
+coding. The encoders write 4:4:4 / 4:2:0 (or single-component grayscale);
+``encode_jpeg`` emits baseline SOF0 with the Annex K tables and
+``encode_progressive_jpeg`` emits SOF2 with a spectral-selection +
+successive-approximation scan script and per-scan OPTIMAL Huffman tables
+(Annex K.2 two-pass). The decoder reads baseline SOF0/1 streams with
+4:4:4, 4:2:0 and 4:2:2 chroma subsampling, restart markers, and 1- or
+3-component scans, plus progressive SOF2 streams (spectral selection,
+successive approximation, EOB runs, AC/DC refinement). Arithmetic coding,
+lossless modes, and 12-bit precision are out of scope and raise
 ``JPEGError`` with the reason.
 
 Like ``functions.png``, this exists so the multimodal pipeline decodes FOR
@@ -282,11 +286,11 @@ def _encode_block(bw, zz, t, pred, c, dc_codes, ac_codes):
         bw.write(code, ln)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
-    """Baseline sequential JPEG: HxWx3 RGB at 4:4:4 (``subsample='444'``) or
-    4:2:0 (``'420'``, 2x2-mean chroma downsample — the common camera
-    layout), or single-component grayscale for HxW input. Annex K quant
-    (IJG quality-scaled) + Annex K Huffman tables."""
+def _encode_setup(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front end (validation, color transform, chroma
+    downsample, MCU padding, quality-scaled quant tables) for the baseline
+    and progressive entry points. Returns
+    ``(h, w, gray, planes, qts, samp)`` with ``samp`` as (v, h) factors."""
     if arr.dtype != np.uint8:
         raise JPEGError("encode_jpeg expects uint8")
     gray = arr.ndim == 2
@@ -329,6 +333,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> b
         ]
         qts = [qt_l, qt_c, qt_c]
         samp = [(ly, lx), (1, 1), (1, 1)]
+    return h, w, gray, planes, qts, samp
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
+    """Baseline sequential JPEG: HxWx3 RGB at 4:4:4 (``subsample='444'``) or
+    4:2:0 (``'420'``, 2x2-mean chroma downsample — the common camera
+    layout), or single-component grayscale for HxW input. Annex K quant
+    (IJG quality-scaled) + Annex K Huffman tables."""
+    h, w, gray, planes, qts, samp = _encode_setup(arr, quality, subsample)
+    ly, lx = samp[0]
 
     dc_codes = [_build_huff_codes(*HUFF_DC_LUM), _build_huff_codes(*HUFF_DC_CHROM)]
     ac_codes = [_build_huff_codes(*HUFF_AC_LUM), _build_huff_codes(*HUFF_AC_CHROM)]
@@ -460,7 +474,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → HxW (grayscale) or HxWx3 RGB uint8."""
+    """JPEG → HxW (grayscale) or HxWx3 RGB uint8.
+
+    Handles baseline sequential (SOF0/SOF1) in a single streaming scan and
+    progressive DCT (SOF2, ITU T.81 Annex G: spectral selection +
+    successive approximation, EOB runs, AC/DC refinement scans) by
+    accumulating coefficients across scans and running one vectorized
+    IDCT at EOI.
+    """
     if not is_jpeg(data):
         raise JPEGError("not a JPEG (missing SOI)")
     pos = 2
@@ -469,6 +490,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_luts: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    stores: list[np.ndarray] | None = None  # progressive coefficient planes
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JPEGError("marker desync")
@@ -502,7 +525,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 (dc_luts if cls == 0 else ac_luts)[tid] = _build_huff_lut(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6:
                 raise JPEGError("truncated SOF")
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
@@ -514,23 +537,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JPEGError("non-baseline JPEG (progressive/arithmetic) unsupported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JPEGError("non-baseline JPEG (lossless/arithmetic) unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JPEGError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise JPEGError("truncated SOS")
             scan = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise JPEGError("SOS names unknown component")
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if stores is None:
+                stores = _alloc_coef_stores(frame)
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                stores, dc_luts, ac_luts, restart_interval,
             )
+            n_scans += 1
+    if stores is not None and n_scans:
+        return _reconstruct_progressive(frame, stores, qts)
     raise JPEGError("no scan data")
 
 
@@ -577,7 +618,12 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval
                         zz[k] = _extend(br.bits(s), s)
                         k += 1
                     nat = np.zeros(64, dtype=np.float64)
-                    nat[ZIGZAG] = zz * qt
+                    # scatter zigzag coeffs to natural order FIRST, then
+                    # dequantize with the natural-order table (multiplying
+                    # before the scatter pairs coefficient k with the wrong
+                    # quant entry for every position where ZIGZAG[k] != k)
+                    nat[ZIGZAG] = zz
+                    nat *= qt
                     blk = _M.T @ nat.reshape(8, 8) @ _M + 128.0
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
@@ -595,6 +641,575 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval
     if len(full) == 3:
         return ycbcr_to_rgb(np.stack(full, axis=-1))
     raise JPEGError(f"unsupported component count {len(full)}")
+
+
+# --------------------------------------------------------------------------
+# progressive DCT decoding (ITU T.81 Annex G)
+# --------------------------------------------------------------------------
+#
+# Progressive streams deliver each block's 64 quantized coefficients over
+# MULTIPLE scans: spectral selection (a scan covers one zigzag band
+# [Ss..Se]) crossed with successive approximation (a first scan delivers
+# the magnitude bits above Al; refinement scans with Ah = Al+1 deliver one
+# lower bit per coefficient). The decoder therefore accumulates integer
+# coefficients per block across scans and defers dequantize+IDCT to EOI.
+# Coefficients are held sign-magnitude-consistently: a first scan stores
+# value << Al; AC refinement adds ±(1 << Al) toward the sign; DC
+# refinement ORs the bit in (two's complement OR equals magnitude-bit set
+# for the DC path because DC uses an arithmetic-shift point transform).
+
+
+def _frame_geometry(frame: dict) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_block_dims(frame: dict, comp: dict) -> tuple[int, int]:
+    """Non-interleaved block grid: ceil(component sample dims / 8)
+    (A.2.2 — padding blocks to the MCU grid are NOT coded in
+    non-interleaved scans)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    sw = -(-frame["w"] * comp["h"] // hmax)
+    sh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-sh // 8), -(-sw // 8)
+
+
+def _alloc_coef_stores(frame: dict) -> list[np.ndarray]:
+    """Per-component zigzag-order coefficient planes on the MCU-padded
+    grid (interleaved DC scans code the padding blocks too)."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _dec_dc_block(br, store, by, bx, td, ah, al, pred, ci, dc_luts):
+    if ah == 0:  # first DC scan: Huffman diff, point transform << Al
+        if td not in dc_luts:
+            raise JPEGError("DC scan references undefined Huffman table")
+        size = _decode_huff(br, dc_luts[td])
+        if size:
+            pred[ci] += _extend(br.bits(size), size)
+        store[by, bx, 0] = pred[ci] << al
+    else:  # refinement: one raw bit per block (G.2.1)
+        if br.bit():
+            store[by, bx, 0] |= 1 << al
+
+
+def _dec_ac_first(br, blk, ss, se, al, eobrun, lut) -> int:
+    """One block of an AC first scan (Ah=0, G.2.2): returns new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:  # EOBn: run of 2^r + appended bits end-of-bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JPEGError("AC index past band end in progressive scan")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(br, blk, ss, se, al, eobrun, lut) -> int:
+    """One block of an AC refinement scan (Ah=Al+1, G.2.2 / Figure G.7).
+
+    Coefficients with nonzero history receive a correction bit whenever the
+    scan passes over them (inside runs, after newly-significant insertions,
+    and through the tail of every block covered by an EOB run); zero-history
+    coefficients are counted by the run lengths, with s=1 symbols inserting
+    newly-significant ±(1 << Al) values.
+    """
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, lut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                newval = 0  # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JPEGError("refinement scan magnitude must be 1")
+                newval = p1 if br.bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.bit() and (abs(v) & p1) == 0:
+                        blk[k] = v + p1 if v > 0 else v - p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run tail: correction bits only
+            v = int(blk[k])
+            if v != 0 and br.bit() and (abs(v) & p1) == 0:
+                blk[k] = v + p1 if v > 0 else v - p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _skip_to_marker(data: bytes, br: _BitReader) -> int:
+    """Advance past the scan's entropy bytes to the next real marker."""
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, stores, dc_luts, ac_luts,
+    restart_interval,
+) -> int:
+    """Entropy-decode one progressive scan into the coefficient stores;
+    returns the byte offset of the next marker."""
+    br = _BitReader(data, pos)
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    if ss == 0:
+        if se != 0:
+            raise JPEGError("DC scan must have Se = 0 (G.1.1.1.1)")
+        pred = [0] * len(scan)
+        if len(scan) == 1:  # non-interleaved single-component DC scan
+            comp, td, _ = scan[0]
+            store = stores[idx[comp["id"]]]
+            nby, nbx = _comp_block_dims(frame, comp)
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.align_restart()
+                        pred = [0]
+                    _dec_dc_block(br, store, by, bx, td, ah, al, pred, 0, dc_luts)
+                    n += 1
+        else:  # interleaved MCU walk over the scan components
+            for m in range(mcus_x * mcus_y):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.align_restart()
+                    pred = [0] * len(scan)
+                my, mx = divmod(m, mcus_x)
+                for ci, (comp, td, _) in enumerate(scan):
+                    store = stores[idx[comp["id"]]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            _dec_dc_block(
+                                br, store, my * comp["v"] + by,
+                                mx * comp["h"] + bx, td, ah, al, pred, ci,
+                                dc_luts,
+                            )
+    else:
+        if len(scan) != 1:
+            raise JPEGError("progressive AC scans are non-interleaved (G.1.1.1)")
+        comp, _, ta = scan[0]
+        if ta not in ac_luts:
+            raise JPEGError("AC scan references undefined Huffman table")
+        store = stores[idx[comp["id"]]]
+        nby, nbx = _comp_block_dims(frame, comp)
+        lut = ac_luts[ta]
+        eobrun = 0
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.align_restart()
+                    eobrun = 0
+                blk = store[by, bx]
+                if ah == 0:
+                    eobrun = _dec_ac_first(br, blk, ss, se, al, eobrun, lut)
+                else:
+                    eobrun = _dec_ac_refine(br, blk, ss, se, al, eobrun, lut)
+                n += 1
+    return _skip_to_marker(data, br)
+
+
+def _reconstruct_progressive(frame, stores, qts) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block (vectorized over whole
+    planes), then upsample / crop / color-convert exactly as baseline."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    full = []
+    for ci, comp in enumerate(frame["comps"]):
+        if comp["tq"] not in qts:
+            raise JPEGError("missing quantization table")
+        qt = qts[comp["tq"]].astype(np.float64)
+        st = stores[ci]
+        nby, nbx, _ = st.shape
+        nat = np.zeros((nby * nbx, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = st.reshape(-1, 64)
+        nat *= qt[None, :]
+        blocks = np.einsum("ji,njk,kl->nil", _M, nat.reshape(-1, 8, 8), _M) + 128.0
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        return ycbcr_to_rgb(np.stack(full, axis=-1))
+    raise JPEGError(f"unsupported component count {len(full)}")
+
+
+# --------------------------------------------------------------------------
+# progressive DCT encoding (ITU T.81 Annex G.1 + Annex K.2 optimal tables)
+# --------------------------------------------------------------------------
+#
+# The Annex K Huffman tables lack the EOBn symbols (0x10..0xE0) that carry
+# progressive end-of-band runs, so AC scans are encoded two-pass: a counting
+# pass gathers the scan's symbol frequencies, Annex K.2's algorithm builds
+# an optimal (≤16-bit, no-all-ones-code) table, a DHT redefining AC table 0
+# is emitted before each SOS, then the scan is encoded for real. DC scans
+# reuse the Annex K DC tables (size categories 0..11 are always present).
+
+
+def _gen_optimal_huff(freq_map: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Annex K.2 (Figures K.1-K.3): symbol frequencies → (BITS, HUFFVAL).
+
+    A reserved pseudo-symbol (256) gets frequency 1 so no real symbol is
+    assigned the all-ones code; code lengths are limited to 16 bits by the
+    Figure K.3 adjustment.
+    """
+    if not freq_map:
+        freq_map = {0: 1}
+    freq = [0] * 257
+    for s, c in freq_map.items():
+        freq[s] = c
+    freq[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1, f1 = -1, None
+        for i in range(257):
+            if freq[i] > 0 and (f1 is None or freq[i] <= f1):
+                f1, v1 = freq[i], i
+        v2, f2 = -1, None
+        for i in range(257):
+            if i != v1 and freq[i] > 0 and (f2 is None or freq[i] <= f2):
+                f2, v2 = freq[i], i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    counts = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            counts[codesize[i]] += 1
+    i = 32
+    while i > 16:  # Figure K.3: push over-long codes up the tree
+        while counts[i] > 0:
+            j = i - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[i] -= 2
+            counts[i - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+        i -= 1
+    while counts[i] == 0:
+        i -= 1
+    counts[i] -= 1  # drop the reserved symbol's (longest) code
+    syms = [s for s in range(256) if codesize[s] > 0]
+    syms.sort(key=lambda s: (codesize[s], s))
+    return counts[1:17], syms
+
+
+class _HuffEmitter:
+    """Write-pass sink: symbols through a Huffman code, raw bits verbatim."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]]) -> None:
+        self.bw = _BitWriter()
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+class _FreqCounter:
+    """Count-pass sink: tallies symbols, ignores raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+def _enc_dc_scan(bw, coeffs, ncomp, samp, bw_dims, mcus_x, mcus_y, ah, al, dc_codes):
+    """Interleaved DC scan: first pass Huffman-codes the arithmetic-shifted
+    diffs (G.1.2.1); refinement emits one raw bit per block."""
+    pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                v, hh = samp[c]
+                t_id = 0 if c == 0 else 1
+                for by in range(v):
+                    for bx in range(hh):
+                        bidx = (my * v + by) * bw_dims[c] + (mx * hh + bx)
+                        dc = int(coeffs[c][bidx, 0])
+                        if ah == 0:
+                            t = dc >> al
+                            diff = t - pred[c]
+                            pred[c] = t
+                            size, bits_v = _magnitude(diff)
+                            code, ln = dc_codes[t_id][size]
+                            bw.write(code, ln)
+                            if size:
+                                bw.write(bits_v, size)
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+
+
+def _flush_eob_first(em, st) -> None:
+    e = st["eob"]
+    r = e.bit_length() - 1
+    em.sym(r << 4)
+    em.bits(e & ((1 << r) - 1), r)
+    st["eob"] = 0
+
+
+def _enc_ac_first_scan(em, blocks, nby, nbx, bwdim, ss, se, al) -> None:
+    """AC first scan (G.1.2.2): magnitudes are |coef| >> Al with the sign
+    kept; trailing zero bands accumulate into cross-block EOB runs."""
+    st = {"eob": 0}
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by * bwdim + bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                a = abs(t) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                if st["eob"]:
+                    _flush_eob_first(em, st)
+                while r > 15:
+                    em.sym(0xF0)  # ZRL
+                    r -= 16
+                size = a.bit_length()
+                em.sym((r << 4) | size)
+                em.bits(a if t > 0 else ((1 << size) - 1 - a), size)
+                r = 0
+            if r > 0:
+                st["eob"] += 1
+                if st["eob"] == 0x7FFF:
+                    _flush_eob_first(em, st)
+    if st["eob"]:
+        _flush_eob_first(em, st)
+
+
+def _flush_eob_refine(em, st) -> None:
+    if st["eob"]:
+        e = st["eob"]
+        r = e.bit_length() - 1
+        em.sym(r << 4)
+        em.bits(e & ((1 << r) - 1), r)
+        for b in st["be"]:
+            em.bits(b, 1)
+        st["eob"] = 0
+        st["be"] = []
+
+
+def _enc_ac_refine_scan(em, blocks, nby, nbx, bwdim, ss, se, al) -> None:
+    """AC refinement scan (G.1.2.3): already-significant coefficients get
+    correction bits (buffered to ride after the symbol that flushes them);
+    zero-history runs end at newly-significant ±1 values; ZRLs are only
+    emitted up to the block's last newly-significant coefficient — runs
+    beyond it fold into the EOB run."""
+    st = {"eob": 0, "be": []}
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = blocks[by * bwdim + bx]
+            ab = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_idx = -1
+            for i, a in enumerate(ab):
+                if a == 1:
+                    eob_idx = i
+            r = 0
+            br_bits: list[int] = []
+            for i, a in enumerate(ab):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_idx:
+                    _flush_eob_refine(em, st)
+                    em.sym(0xF0)
+                    r -= 16
+                    for b in br_bits:
+                        em.bits(b, 1)
+                    br_bits = []
+                if a > 1:  # nonzero history: correction bit only
+                    br_bits.append(a & 1)
+                    continue
+                _flush_eob_refine(em, st)
+                em.sym((r << 4) | 1)
+                em.bits(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in br_bits:
+                    em.bits(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                st["eob"] += 1
+                st["be"].extend(br_bits)
+                if st["eob"] == 0x7FFF or len(st["be"]) > 930:
+                    _flush_eob_refine(em, st)
+    _flush_eob_refine(em, st)
+
+
+#: per-component scan scripts: (kind, comp, Ss, Se, Ah, Al). The 3-component
+#: script exercises spectral-selection band splits, successive approximation
+#: (Al=2 luma first scans + two refinement passes), and DC refinement.
+_PROG_SCRIPT_GRAY = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 63, 0, 1),
+    ("ac", 0, 1, 63, 1, 0),
+    ("dc", None, 0, 0, 1, 0),
+]
+_PROG_SCRIPT_RGB = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 0, 6, 63, 0, 2),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 1, 63, 2, 1),
+    ("ac", 0, 1, 63, 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+    ("dc", None, 0, 0, 1, 0),
+]
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """Progressive DCT JPEG (SOF2): same color/quant front end as
+    ``encode_jpeg``, coefficients delivered over a spectral-selection +
+    successive-approximation scan script with per-scan optimal AC Huffman
+    tables. Decoding the result reconstructs the EXACT same quantized
+    coefficients as the baseline stream, so pixels match ``encode_jpeg``
+    output bit-for-bit after decode."""
+    h, w, gray, planes, qts, samp = _encode_setup(arr, quality, subsample)
+    ncomp = 1 if gray else 3
+    coeffs = []
+    bw_dims = []
+    for i, p in enumerate(planes):
+        coeffs.append(_encode_plane_blocks(p, qts[i]))
+        bw_dims.append(p.shape[1] // 8)
+    ly, lx = samp[0]
+    mcus_x = planes[0].shape[1] // (8 * lx)
+    mcus_y = planes[0].shape[0] // (8 * ly)
+    vmax = max(v for v, _ in samp)
+    hmax = max(hh for _, hh in samp)
+    real_dims = []  # non-interleaved block grids (padding blocks excluded)
+    for v, hh in samp:
+        sh = -(-h * v // vmax)
+        sw = -(-w * hh // hmax)
+        real_dims.append((-(-sh // 8), -(-sw // 8)))
+
+    dc_codes = [_build_huff_codes(*HUFF_DC_LUM), _build_huff_codes(*HUFF_DC_CHROM)]
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid in range(1 if gray else 2):
+        qt = qts[tid]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(qt[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        v, hh = samp[cid]
+        out += bytes([cid + 1, (hh << 4) | v, 0 if cid == 0 else 1])
+    for cls, tid, spec in ((0, 0, HUFF_DC_LUM), (0, 1, HUFF_DC_CHROM))[
+        : 1 if gray else 2
+    ]:
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    for kind, c, ss, se, ah, al in (_PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_RGB):
+        if kind == "dc":
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+            for cid in range(ncomp):
+                td = 0 if cid == 0 else 1
+                out += bytes([cid + 1, td << 4])
+            out += bytes([ss, se, (ah << 4) | al])
+            bw = _BitWriter()
+            _enc_dc_scan(
+                bw, coeffs, ncomp, samp, bw_dims, mcus_x, mcus_y, ah, al, dc_codes
+            )
+            bw.flush()
+            out += bw.buf
+        else:
+            nby, nbx = real_dims[c]
+            enc_fn = _enc_ac_first_scan if ah == 0 else _enc_ac_refine_scan
+            fc = _FreqCounter()
+            enc_fn(fc, coeffs[c], nby, nbx, bw_dims[c], ss, se, al)
+            bits, vals = _gen_optimal_huff(fc.freq)
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), 1 << 4)
+            out += bytes(bits) + bytes(vals)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([c + 1, 0])
+            out += bytes([ss, se, (ah << 4) | al])
+            em = _HuffEmitter(_build_huff_codes(bits, vals))
+            enc_fn(em, coeffs[c], nby, nbx, bw_dims[c], ss, se, al)
+            em.bw.flush()
+            out += em.bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def to_rgb(img: np.ndarray) -> np.ndarray:

@@ -6,7 +6,8 @@ The Spark side is real and tested: schemas, partition-preserving
 All THREE media kinds now decode for REAL on built-in pure-stdlib+numpy
 codecs, in any environment:
 
-* image  — PNG (``functions.png``) and baseline JPEG (``functions.jpeg``)
+* image  — PNG (``functions.png``) and JPEG, baseline + progressive
+           (``functions.jpeg``)
 * audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``)
 * video  — animated GIF frames with delays/disposal (``functions.gif``),
            MJPEG AVI (``functions.avi``: RIFF container walk + the
@@ -14,7 +15,7 @@ codecs, in any environment:
            ISO-BMFF box walk + sample tables + the same JPEG codec)
 
 pillow (when installed) stays the preferred/parity image path; formats
-needing external libraries (H.264/VP9 video, mp3, progressive JPEG, ...)
+needing external libraries (H.264/VP9 video, mp3, ...)
 raise a typed
 error through the same one-function seams (``decode_image`` /
 ``decode_audio`` / ``decode_frames``) — swapping in ffmpeg/pillow-SIMD
@@ -61,11 +62,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     Real path: PIL (pillow) when importable — any format PIL reads, coerced
     to RGB. Without pillow, PNG payloads decode for real through the
-    built-in pure-stdlib codec (``functions.png``) and baseline JPEG
-    payloads through the built-in T.81 codec (``functions.jpeg``: Huffman +
-    dequant + IDCT + 4:4:4/4:2:0/4:2:2 upsample; parity with PIL pinned in
-    tests/test_env_gated.py); other formats without pillow raise
-    NotImplementedError. ``fake=True`` produces a deterministic 8x8x3
+    built-in pure-stdlib codec (``functions.png``) and JPEG payloads —
+    baseline SOF0/1 AND progressive SOF2 — through the built-in T.81 codec
+    (``functions.jpeg``: Huffman + dequant + IDCT + 4:4:4/4:2:0/4:2:2
+    upsample, Annex G spectral-selection/successive-approximation scans;
+    parity with PIL pinned in tests/test_env_gated.py); other formats
+    without pillow raise NotImplementedError. ``fake=True`` produces a deterministic 8x8x3
     surrogate derived from the payload digest, so hash-seeded golden plans
     stay payload-keyed and environment-independent.
     """
@@ -85,8 +87,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             return np.ascontiguousarray(_jpeg.to_rgb(_jpeg.decode_jpeg(payload)))
         raise NotImplementedError(
             "image codec (pillow) not available in this environment; PNG and "
-            "baseline JPEG decode via the built-in codecs, or pass fake=True "
-            "for the deterministic surrogate"
+            "JPEG (baseline + progressive) decode via the built-in codecs, "
+            "or pass fake=True for the deterministic surrogate"
         )
     import io
 

@@ -281,7 +281,9 @@ def test_jpeg_rejects_malformed():
     with pytest.raises(JPEGError):
         decode_jpeg(b"not a jpeg")
     enc = bytearray(encode_jpeg(_test_image(8, 8)))
-    # flip SOF0 into SOF2 (progressive) — must refuse, not mis-decode
+    # flip SOF0 into SOF2: the baseline SOS trailer (Ss=0, Se=63) is an
+    # ILLEGAL progressive scan header (a DC scan must have Se=0, G.1.1.1.1)
+    # — the progressive path must refuse it, not mis-decode
     idx = bytes(enc).find(b"\xff\xc0")
     enc[idx + 1] = 0xC2
     with pytest.raises(JPEGError):
@@ -290,6 +292,58 @@ def test_jpeg_rejects_malformed():
         decode_jpeg(encode_jpeg(_test_image(8, 8))[:40])  # truncated
     with pytest.raises(JPEGError):
         encode_jpeg(_test_image(8, 8).astype(np.int32))
+
+
+def test_jpeg_dequant_uses_natural_order_table():
+    """Regression pin for the zigzag/natural dequantization mixup: the
+    decoder must scatter zigzag coefficients to natural order BEFORE
+    multiplying by the (natural-order) quant table. With the orders mixed,
+    a pure-noise image at q95 round-trips with MAE ≈ 39; correctly paired
+    it is ≈ 3. (q100 and flat-image tests cannot catch this — all-ones
+    tables and zero AC energy make both orders identical.)"""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    mae = float(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert mae < 8.0, f"dequant order regression: MAE {mae}"
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_jpeg_exact_vs_baseline(subsample):
+    from safedata_validator_spark.functions.jpeg import encode_progressive_jpeg
+
+    img = _test_image(29, 37)
+    prog = encode_progressive_jpeg(img, quality=85, subsample=subsample)
+    assert is_jpeg(prog)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog  # SOF2, no SOF0
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=subsample))
+    assert np.array_equal(decode_jpeg(prog), base)
+
+
+def test_progressive_jpeg_grayscale_and_flat_eob_runs():
+    from safedata_validator_spark.functions.jpeg import encode_progressive_jpeg
+
+    g = _test_image(21, 18)[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_jpeg(g, quality=90)),
+        decode_jpeg(encode_jpeg(g, quality=90)),
+    )
+    # flat image: every AC band is empty → the whole scan is one long EOB
+    # run (EOBn symbols with appended length bits) — and q100 flat decodes
+    # exactly, same invariant the catalog oracles use for baseline
+    flat = np.full((128, 96, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_progressive_jpeg(flat, quality=100)) == 77).all()
+
+
+def test_progressive_jpeg_compresses_comparably():
+    from safedata_validator_spark.functions.jpeg import encode_progressive_jpeg
+
+    img = _test_image(96, 120, seed=3)
+    b = len(encode_jpeg(img, quality=85))
+    p = len(encode_progressive_jpeg(img, quality=85))
+    # per-scan optimal Huffman tables: progressive should be in the same
+    # ballpark or smaller, never a blow-up
+    assert p < b * 1.15, (p, b)
 
 
 def test_decode_image_uses_builtin_jpeg_without_pillow():

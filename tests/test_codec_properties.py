@@ -24,7 +24,12 @@ from hypothesis import strategies as st
 
 from safedata_validator_spark.functions.avi import avi_frames, encode_avi
 from safedata_validator_spark.functions.gif import decode_gif, encode_gif
-from safedata_validator_spark.functions.jpeg import decode_jpeg, encode_jpeg, to_rgb
+from safedata_validator_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_progressive_jpeg,
+    to_rgb,
+)
 from safedata_validator_spark.functions.mp4 import encode_mp4, mp4_frames
 from safedata_validator_spark.functions.png import decode_png, encode_png
 from safedata_validator_spark.functions.wav import decode_wav, encode_wav
@@ -166,6 +171,34 @@ def test_jpeg_q100_flat_exact_property(h, w, v, layout):
     assert (out == v).all()
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=10, max_value=100),
+    layout=st.sampled_from(["gray", "444", "420"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_progressive_jpeg_exact_vs_baseline_property(h, w, quality, layout, seed):
+    """Progressive scans deliver EVERY bit of every quantized coefficient
+    (the scan scripts' successive-approximation passes sum to Al=0), so a
+    progressive encode must decode to the IDENTICAL pixels as the baseline
+    encode of the same image — for any size, quality, subsampling, and
+    content. This single property gates both directions of the Annex G
+    code: spectral selection, successive approximation, EOB runs, AC/DC
+    refinement."""
+    rng = np.random.default_rng(seed)
+    if layout == "gray":
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sub = "444"
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sub = layout
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+    prog = decode_jpeg(encode_progressive_jpeg(img, quality=quality, subsample=sub))
+    assert np.array_equal(base, prog)
+
+
 # ---------------------------------------------------------------------------
 # Adversarial robustness (VERDICT r04 §next 8): for ANY truncation or
 # single-byte corruption of a valid payload, every container walker /
@@ -256,7 +289,8 @@ def test_mp4_corruption_typed_errors(seed, nf, fps, pos, val):
 @settings(max_examples=80, deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=2**31),
-    kind=st.sampled_from(["png", "jpeg", "gif", "wav"]),
+    # pjpeg: progressive streams go through the Annex G multi-scan decoder
+    kind=st.sampled_from(["png", "jpeg", "pjpeg", "gif", "wav"]),
     mode=st.sampled_from(["cut", "flip"]),
     pos=st.floats(min_value=0.0, max_value=1.0),
     val=st.integers(min_value=0, max_value=255),
@@ -267,6 +301,11 @@ def test_image_audio_mutation_typed_errors(seed, kind, mode, pos, val):
         data, dec = encode_png(rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)), decode_png
     elif kind == "jpeg":
         data, dec = encode_jpeg(rng.integers(0, 256, (5, 4), dtype=np.uint8)), decode_jpeg
+    elif kind == "pjpeg":
+        data = encode_progressive_jpeg(
+            rng.integers(0, 256, (9, 12, 3), dtype=np.uint8), quality=80
+        )
+        dec = decode_jpeg
     elif kind == "gif":
         pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
         data, dec = encode_gif([rng.integers(0, 4, (5, 4), dtype=np.uint8)], pal), decode_gif
