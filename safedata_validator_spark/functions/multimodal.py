@@ -8,7 +8,8 @@ codecs, in any environment:
 
 * image  — PNG (``functions.png``) and JPEG, baseline + progressive
            (``functions.jpeg``)
-* audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``)
+* audio  — WAV/PCM int 8/16/24/32 + float 32/64 (``functions.wav``) and
+           FLAC lossless (``functions.flac``)
 * video  — animated GIF frames with delays/disposal (``functions.gif``),
            MJPEG AVI (``functions.avi``: RIFF container walk + the
            built-in JPEG codec per frame) and MJPEG MP4 (``functions.mp4``:
@@ -99,19 +100,25 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
     """Decode an audio payload to ``(sample_rate, float64 (n, ch) in [-1,1])``.
 
-    Real path: the built-in pure-stdlib WAV/PCM codec (``functions.wav``) —
-    integer 8/16/24/32-bit and float 32/64 PCM decode for REAL in any
+    Real path: the built-in pure-stdlib codecs — WAV/PCM (``functions.wav``:
+    integer 8/16/24/32-bit and float 32/64) and FLAC (``functions.flac``:
+    CONSTANT/VERBATIM/FIXED/LPC subframes, all four channel assignments,
+    rice partitions, CRC + MD5 verification) decode for REAL in any
     environment, mirroring what ``functions.png``/``functions.jpeg`` do for
-    images.  Compressed formats raise ``WAVError``.  ``fake=True`` produces
-    a deterministic digest-keyed surrogate clip (8 kHz, 64 samples) so
-    hash-seeded golden plans stay payload-keyed and environment-independent.
+    images.  Perceptual formats (mp3, aac, ...) raise ``WAVError``.
+    ``fake=True`` produces a deterministic digest-keyed surrogate clip
+    (8 kHz, 64 samples) so hash-seeded golden plans stay payload-keyed and
+    environment-independent.
     """
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
         raw = np.frombuffer((digest * 2), dtype=np.uint8).astype(np.float64)
         return 8000, ((raw - 128.0) / 128.0)[:, None]
+    from safedata_validator_spark.functions import flac as _flac
     from safedata_validator_spark.functions import wav as _wav
 
+    if _flac.is_flac(payload or b""):
+        return _flac.decode_flac(payload)
     return _wav.decode_wav(payload)
 
 

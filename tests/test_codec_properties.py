@@ -1,6 +1,6 @@
-"""Hypothesis property batteries for the four built-in media codecs
-(functions/png.py, jpeg.py, gif.py, wav.py, avi.py): random-input
-round-trip invariants beyond the hand-picked cases in
+"""Hypothesis property batteries for the built-in media codecs
+(functions/png.py, jpeg.py, gif.py, wav.py, flac.py, avi.py, mp4.py):
+random-input round-trip invariants beyond the hand-picked cases in
 test_builtin_codecs.py. No Spark session — pure kernel fuzzing.
 
 Properties pinned:
@@ -14,6 +14,10 @@ Properties pinned:
   floor-division timestamps for any frame sizes/fps.
 * JPEG (q100 flat): exact for any flat image at any size — the invariant
   the arithmetic catalog oracles rely on.
+* JPEG progressive: decodes pixel-identical to the baseline stream for
+  any content/size/quality/subsampling.
+* FLAC: encode→decode is the identity for any samples/depth/channels/
+  frame split — lossless by spec.
 """
 
 from __future__ import annotations
@@ -318,3 +322,60 @@ def test_image_audio_mutation_typed_errors(seed, kind, mode, pos, val):
         b[min(int(len(b) * pos), len(b) - 1)] = val
         data = bytes(b)
     _assert_typed(dec, data)
+
+
+# --------------------------------------------------------------------- FLAC
+
+from safedata_validator_spark.functions.flac import (  # noqa: E402
+    decode_flac_int,
+    encode_flac,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    ch=st.integers(min_value=1, max_value=3),
+    bits=st.sampled_from([8, 12, 16, 20, 24]),
+    block_size=st.sampled_from([64, 256, 4096]),
+    shape=st.sampled_from(["noise", "smooth", "constant", "scaled"]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_flac_round_trip_property(n, ch, bits, block_size, shape, seed):
+    """FLAC is lossless by spec: encode→decode must return the identical
+    integers for any sample content (noise → verbatim, smooth → fixed
+    predictors, constant subframes, multiples-of-2^k values), any depth,
+    any channel count, and any frame split."""
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bits - 1)
+    if shape == "noise":
+        s = rng.integers(-lim, lim, (n, ch))
+    elif shape == "smooth":
+        t = np.arange(n)[:, None]
+        s = (lim // 3 * np.sin(t / 11 + np.arange(ch))).astype(np.int64)
+    elif shape == "constant":
+        s = np.full((n, ch), int(rng.integers(-lim, lim)))
+    else:  # scaled: all values share low zero bits (wasted-bits shape)
+        s = (rng.integers(-lim >> 3, lim >> 3, (n, ch)) << 3)
+    rate, dec, b = decode_flac_int(encode_flac(s, 44100, bits=bits, block_size=block_size))
+    assert rate == 44100 and b == bits
+    assert np.array_equal(dec, np.asarray(s, dtype=np.int64))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    mode=st.sampled_from(["cut", "flip"]),
+    pos=st.floats(min_value=0.0, max_value=1.0),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_flac_mutation_typed_errors(seed, mode, pos, val):
+    rng = np.random.default_rng(seed)
+    data = encode_flac(rng.integers(-2000, 2000, (300, 2)), 8000, bits=16)
+    if mode == "cut":
+        data = data[: int(len(data) * pos)]
+    else:
+        b = bytearray(data)
+        b[min(int(len(b) * pos), len(b) - 1)] = val
+        data = bytes(b)
+    _assert_typed(decode_flac_int, data)
