@@ -2064,18 +2064,21 @@ _AUDIO_AUDIT_DOCS = 96
 
 
 def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode audit over the built-in WAV/PCM codec
-    (functions/wav.py): per doc, synthesize a square wave of known
-    amplitude/period (16-bit mono, 16-bit stereo or 8-bit mono), encode to
-    WAV and decode + featurize through the SAME entry points the multimodal
+    """REAL audio decode audit over the built-in WAV/PCM AND FLAC codecs
+    (functions/wav.py, functions/flac.py): per doc, synthesize a square
+    wave of known amplitude/period (16-bit mono, 16-bit stereo or 8-bit
+    mono), encode to WAV or FLAC (alternating deterministically by doc id)
+    and decode + featurize through the SAME entry points the multimodal
     pipeline uses (multimodal.decode_audio → wav.audio_features).  A
     constant-|amplitude| square wave makes RMS and peak EXACT dyadic
     rationals (a/2^15 or a/2^7 — bit-identical doubles, no rounding
-    needed) and the zero-crossing count a floor expression, so the DuckDB
-    oracle recomputes every output arithmetically from the doc id alone.
-    Gates RIFF framing, PCM 8/16-bit decode, channel de-interleave,
-    normalization and the feature math; 24/32-bit + float paths are
-    unit-gated in tests/test_builtin_codecs.py."""
+    needed) and the zero-crossing count a floor expression; FLAC is
+    lossless and normalizes by the same 2^(bits-1), so BOTH formats decode
+    to bit-identical doubles and ONE arithmetic DuckDB oracle gates the
+    pair from the doc id alone.  Gates RIFF framing, PCM 8/16-bit decode,
+    FLAC frame/subframe/rice decode + CRC/MD5 verification, channel
+    de-interleave, normalization and the feature math; 24/32-bit + float
+    paths are unit-gated in tests/test_builtin_codecs.py."""
     import pandas as _pd
 
     d = (
@@ -2087,6 +2090,7 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_batch(it):
         import numpy as _np
 
+        from safedata_validator_spark.functions.flac import encode_flac
         from safedata_validator_spark.functions.multimodal import decode_audio
         from safedata_validator_spark.functions.wav import (
             audio_features,
@@ -2098,6 +2102,7 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 i = int(did)
                 layout = i % 3  # 0=16-bit mono, 1=16-bit stereo, 2=8-bit mono
+                use_flac = (i // 9) % 2 == 1  # alternate container format
                 a16 = (i * 997) % 30000 + 500
                 a8 = (i * 31) % 120 + 8
                 p = i % 7 + 2
@@ -2106,12 +2111,18 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = (8000, 16000, 44100)[(i // 3) % 3]
                 up = (_np.arange(n) // p) % 2 == 0
                 if layout == 2:
-                    samples = _np.where(up, 128 + a8, 128 - a8)
-                    payload = encode_wav(samples, rate, bits=8)
+                    if use_flac:  # FLAC 8-bit is signed; same a/2^7 values
+                        payload = encode_flac(
+                            _np.where(up, a8, -a8), rate, bits=8
+                        )
+                    else:
+                        samples = _np.where(up, 128 + a8, 128 - a8)
+                        payload = encode_wav(samples, rate, bits=8)
                 else:
                     mono = _np.where(up, a16, -a16)
                     ch = mono[:, None].repeat(2, axis=1) if layout == 1 else mono
-                    payload = encode_wav(ch, rate, bits=16)
+                    enc = encode_flac if use_flac else encode_wav
+                    payload = enc(ch, rate, bits=16)
                 sr, dec = decode_audio(payload)
                 f = audio_features(sr, dec)
                 rows.append(
