@@ -1966,17 +1966,21 @@ _JPEG_AUDIT_DOCS = 120
 
 
 def q_jpeg_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG decode audit over the built-in baseline T.81 codec
+    """REAL JPEG decode audit over the built-in T.81 codec
     (functions/jpeg.py): per doc, synthesize a flat image (grayscale /
     equal-channel RGB at 4:4:4 / equal-channel RGB at 4:2:0), encode at
-    quality=100 and decode through the SAME multimodal entry point the
-    pipeline uses. Flat q100 streams decode EXACTLY (all-ones quant tables;
-    equal channels put Cb=Cr at precisely 128, so the color roundtrip is
+    quality=100 — alternating deterministically between BASELINE (SOF0)
+    and PROGRESSIVE (SOF2, Annex G multi-scan) streams — and decode
+    through the SAME multimodal entry point the pipeline uses. Flat q100
+    streams decode EXACTLY in both modes (all-ones quant tables; equal
+    channels put Cb=Cr at precisely 128, so the color roundtrip is
     integer-exact), which makes pixel statistics arithmetically derivable —
-    the DuckDB oracle recomputes them from the doc id alone. Gates markers,
-    Huffman tables both directions, DC coding, the 4:2:0 MCU interleave +
-    upsample, color conversion, and odd-size cropping; the AC/noise path is
-    unit-gated in tests/test_builtin_codecs.py."""
+    ONE DuckDB oracle recomputes them from the doc id alone for both
+    encodings. Gates markers, Huffman tables both directions, DC coding,
+    progressive scan scripts (spectral selection / successive
+    approximation / DC refinement / EOB runs), the 4:2:0 MCU interleave +
+    upsample, color conversion, and odd-size cropping; the AC/noise path
+    is unit-gated in tests/test_builtin_codecs.py."""
     import pandas as _pd
 
     d = (
@@ -1988,7 +1992,10 @@ def q_jpeg_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def per_batch(it):
         import numpy as _np
 
-        from safedata_validator_spark.functions.jpeg import encode_jpeg
+        from safedata_validator_spark.functions.jpeg import (
+            encode_jpeg,
+            encode_progressive_jpeg,
+        )
         from safedata_validator_spark.functions.multimodal import decode_image
 
         for pdf in it:
@@ -1998,12 +2005,13 @@ def q_jpeg_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = (i * 53) % 256
                 w, h = i % 7 + 3, i % 5 + 2
                 layout = i % 3  # 0=gray, 1=RGB 4:4:4, 2=RGB 4:2:0
+                enc = encode_progressive_jpeg if (i // 9) % 2 else encode_jpeg
                 if layout == 0:
                     arr = _np.full((h, w), v, _np.uint8)
-                    payload = encode_jpeg(arr, quality=100)
+                    payload = enc(arr, quality=100)
                 else:
                     arr = _np.full((h, w, 3), v, _np.uint8)
-                    payload = encode_jpeg(
+                    payload = enc(
                         arr, quality=100, subsample="444" if layout == 1 else "420"
                     )
                 img = decode_image(payload)
