@@ -4,8 +4,11 @@ rule set + dimensions → validate → write violations/verdicts/stats → exit 
 on pass, 1 on fail (entry_points.py:237-240), with a JSON run summary
 (field.py:344-427 analogue).
 
-Usage (cluster):
-    spark-submit --py-files sdv_spark.zip -m safedata_validator_spark.cli \\
+Usage (cluster — spark-submit runs a file, so the shim tools/submit_validate.py
+is the primary resource and the engine ships on --py-files; build the archive
+with tools/make_pyfiles.py):
+    spark-submit --master <cluster> --py-files dist/sdv_spark.zip \\
+        tools/submit_validate.py \\
         --table iceberg:cat.db.transcripts --ruleset rules.json \\
         --dim tools=iceberg:cat.db.tools --out parquet:/out --manifest /ckpt
 

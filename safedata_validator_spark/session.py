@@ -26,7 +26,12 @@ def build_session(
     for local mode; on a real cluster this is overridden via spark-submit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    # Under spark-submit the gateway JVM is already up with --master (and
+    # driver memory) resolved; forcing a local default here would stomp the
+    # cluster deployment's setting. PYSPARK_GATEWAY_PORT is how PythonRunner
+    # hands the live JVM to this process — its presence IS "under submit".
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         if cpus:
@@ -35,7 +40,7 @@ def build_session(
             shuffle_partitions = os.cpu_count() or 8
 
     builder = (
-        SparkSession.builder.master(master)
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +51,8 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
