@@ -541,10 +541,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JPEGError("non-baseline JPEG (lossless/arithmetic) unsupported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JPEGError("truncated DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JPEGError("SOS before SOF")
+            if not body:
+                raise JPEGError("truncated SOS")
             ns = body[0]
             if len(body) < 4 + 2 * ns:
                 raise JPEGError("truncated SOS")

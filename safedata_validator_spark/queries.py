@@ -2072,21 +2072,37 @@ _AUDIO_AUDIT_DOCS = 96
 
 
 def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode audit over the built-in WAV/PCM AND FLAC codecs
-    (functions/wav.py, functions/flac.py): per doc, synthesize a square
-    wave of known amplitude/period (16-bit mono, 16-bit stereo or 8-bit
-    mono), encode to WAV or FLAC (alternating deterministically by doc id)
-    and decode + featurize through the SAME entry points the multimodal
-    pipeline uses (multimodal.decode_audio → wav.audio_features).  A
-    constant-|amplitude| square wave makes RMS and peak EXACT dyadic
-    rationals (a/2^15 or a/2^7 — bit-identical doubles, no rounding
-    needed) and the zero-crossing count a floor expression; FLAC is
-    lossless and normalizes by the same 2^(bits-1), so BOTH formats decode
-    to bit-identical doubles and ONE arithmetic DuckDB oracle gates the
-    pair from the doc id alone.  Gates RIFF framing, PCM 8/16-bit decode,
-    FLAC frame/subframe/rice decode + CRC/MD5 verification, channel
+    """REAL audio decode audit over the built-in WAV/PCM, FLAC, G.711 AND
+    IMA-ADPCM codecs (functions/wav.py, functions/flac.py): per doc,
+    synthesize a signal of known amplitude, encode to one of four formats
+    (rotating deterministically by doc id) and decode + featurize through
+    the SAME entry points the multimodal pipeline uses
+    (multimodal.decode_audio → wav.audio_features).
+
+    * WAV/PCM + FLAC: a constant-|amplitude| square wave makes RMS and
+      peak EXACT dyadic rationals (a/2^15 or a/2^7) and zero crossings a
+      floor expression; FLAC is lossless with the same normalization.
+    * G.711 mu-law/A-law (tags 7/6) are LOSSY — but the square-wave
+      amplitude is chosen as a DECODER-TABLE FIXED POINT (the value some
+      8-bit code decodes to), and re-encoding a reconstruction level
+      returns its own code (involution, exhaustively property-tested), so
+      the round trip is EXACT and the oracle computes the table value
+      arithmetically from the doc id (the G.711 segment/mantissa formula
+      in plain SQL).
+    * IMA ADPCM (tag 0x11) adapts its step per sample, so only a CONSTANT
+      clip survives exactly (delta 0 → nibble 0 → predictor unchanged);
+      channel 1 carries the NEGATED constant to gate de-interleave sign
+      handling, and the decoder returns whole padded blocks, so n_frames
+      is ceil(n/505)*505 in the oracle.
+
+    ONE arithmetic DuckDB oracle gates all four formats from the doc id
+    alone.  Gates RIFF framing, PCM 8/16-bit decode, FLAC
+    frame/subframe/rice decode + CRC/MD5, G.711 table decode + segment
+    encode, ADPCM block headers/nibble order/predictor, channel
     de-interleave, normalization and the feature math; 24/32-bit + float
-    paths are unit-gated in tests/test_builtin_codecs.py."""
+    paths and ADPCM/G.711 fidelity on moving signals are unit- and
+    property-gated in tests/test_builtin_codecs.py and
+    tests/test_codec_properties.py."""
     import pandas as _pd
 
     d = (
@@ -2102,6 +2118,8 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         from safedata_validator_spark.functions.multimodal import decode_audio
         from safedata_validator_spark.functions.wav import (
             audio_features,
+            encode_g711_wav,
+            encode_ima_adpcm,
             encode_wav,
         )
 
@@ -2110,7 +2128,8 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 i = int(did)
                 layout = i % 3  # 0=16-bit mono, 1=16-bit stereo, 2=8-bit mono
-                use_flac = (i // 9) % 2 == 1  # alternate container format
+                fam = (i // 9) % 4  # 0=wav, 1=flac, 2=g711, 3=ima-adpcm
+                use_flac = fam == 1
                 a16 = (i * 997) % 30000 + 500
                 a8 = (i * 31) % 120 + 8
                 p = i % 7 + 2
@@ -2118,7 +2137,39 @@ def q_audio_features_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 800 + (i % 40) * 16
                 rate = (8000, 16000, 44100)[(i // 3) % 3]
                 up = (_np.arange(n) // p) % 2 == 0
-                if layout == 2:
+                if fam >= 2:
+                    chn = 2 if layout == 1 else 1
+                    if fam == 2:
+                        # amplitude = the value G.711 code `lo` decodes to
+                        # (fixed point of the lossy quantizer → exact RT)
+                        lo = (i * 13) % 112 + 8
+                        if i % 2 == 0:  # mu-law (tag 7)
+                            val = ((lo % 16) * 8 + 132) * (1 << (lo // 16)) - 132
+                        else:  # A-law (tag 6)
+                            seg, mant = lo // 16, lo % 16
+                            val = (
+                                mant * 16 + 8
+                                if seg == 0
+                                else (mant * 16 + 264) << max(seg - 1, 0)
+                            )
+                        mono = _np.where(up, val, -val).astype(_np.int16)
+                        sig = (
+                            mono[:, None].repeat(2, axis=1) if chn == 2 else mono
+                        )
+                        payload = encode_g711_wav(
+                            sig, rate, law="ulaw" if i % 2 == 0 else "alaw"
+                        )
+                    else:
+                        # ADPCM: constant clip (delta 0 → exact); negated
+                        # second channel gates de-interleave sign handling
+                        const = _np.full(n, a16, dtype=_np.int16)
+                        sig = (
+                            _np.stack([const, -const], axis=1)
+                            if chn == 2
+                            else const
+                        )
+                        payload = encode_ima_adpcm(sig, rate)
+                elif layout == 2:
                     if use_flac:  # FLAC 8-bit is signed; same a/2^7 values
                         payload = encode_flac(
                             _np.where(up, a8, -a8), rate, bits=8
@@ -2166,6 +2217,8 @@ SQL_AUDIO_FEATURES_AUDIT = f"""
 WITH p AS (
   SELECT CAST(doc_id AS BIGINT) AS i,
          CAST(doc_id AS BIGINT) % 3 AS layout,
+         (CAST(doc_id AS BIGINT) // 9) % 4 AS fam,
+         (CAST(doc_id AS BIGINT) * 13) % 112 + 8 AS lo,
          (CAST(doc_id AS BIGINT) * 997) % 30000 + 500 AS a16,
          (CAST(doc_id AS BIGINT) * 31) % 120 + 8 AS a8,
          CAST(doc_id AS BIGINT) % 7 + 2 AS hp,
@@ -2173,18 +2226,38 @@ WITH p AS (
          CASE (CAST(doc_id AS BIGINT) // 3) % 3
            WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
   FROM documents WHERE doc_id < {_AUDIO_AUDIT_DOCS}
+), q AS (
+  SELECT *,
+         -- the G.711 reconstruction level code `lo` decodes to: the
+         -- segment/mantissa expansion of the mu-law (even doc) or A-law
+         -- (odd doc) tables — the exact amplitude the Spark side encoded
+         CASE WHEN i % 2 = 0
+              THEN ((lo % 16) * 8 + 132) * (1 << (lo // 16)) - 132
+              ELSE CASE WHEN lo // 16 = 0 THEN (lo % 16) * 16 + 8
+                        ELSE ((lo % 16) * 16 + 264) * (1 << (lo // 16 - 1))
+                   END
+         END AS gval,
+         -- ADPCM decodes whole 505-sample blocks (tail block padded)
+         ((n + 504) // 505) * 505 AS n_dec
+  FROM p
 )
 SELECT i AS doc_id,
        CAST(rate AS INT) AS sample_rate,
-       CAST(n AS INT) AS n_frames,
+       CAST(CASE WHEN fam = 3 THEN n_dec ELSE n END AS INT) AS n_frames,
        CAST(CASE WHEN layout = 1 THEN 2 ELSE 1 END AS INT) AS n_channels,
-       CAST(round(n * 1000.0 / rate) AS INT) AS duration_ms,
-       -- constant-|amplitude| square wave: RMS = peak = a / 2^(bits-1),
-       -- an exact dyadic double on both sides (no rounding applied)
-       CASE WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS rms,
-       CASE WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS peak,
-       CAST((n - 1) // hp AS INT) AS zero_crossings
-FROM p
+       CAST(round((CASE WHEN fam = 3 THEN n_dec ELSE n END) * 1000.0 / rate)
+            AS INT) AS duration_ms,
+       -- constant-|amplitude| signal: RMS = peak = a / 2^(bits-1), an
+       -- exact dyadic double on both sides (no rounding applied)
+       CASE WHEN fam = 2 THEN gval / 32768.0
+            WHEN fam = 3 THEN a16 / 32768.0
+            WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS rms,
+       CASE WHEN fam = 2 THEN gval / 32768.0
+            WHEN fam = 3 THEN a16 / 32768.0
+            WHEN layout = 2 THEN a8 / 128.0 ELSE a16 / 32768.0 END AS peak,
+       CAST(CASE WHEN fam = 3 THEN 0 ELSE (n - 1) // hp END AS INT)
+         AS zero_crossings
+FROM q
 """
 
 

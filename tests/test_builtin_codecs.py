@@ -424,8 +424,16 @@ def test_wav_rejects_malformed():
     good = encode_wav(np.array([1, 2, 3]), 8000, bits=16)
     with pytest.raises(WAVError):
         decode_wav(good[:20])  # truncated data chunk
-    # unsupported: mu-law format tag 7
+    # mu-law (tag 7) is now a built-in decode path — this payload decodes
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    rate, dec = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and dec.shape == (4, 1)
+    # genuinely unsupported: a perceptual codec tag (0x55 = MPEG Layer 3)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
