@@ -580,6 +580,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval):
+    for comp, td, ta in scan:
+        if comp["tq"] not in qts:
+            raise JPEGError("scan references undefined quantization table")
+        if td not in dc_luts or ta not in ac_luts:
+            raise JPEGError("scan references undefined Huffman table")
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
