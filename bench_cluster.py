@@ -58,12 +58,14 @@ EXEC_CORES = int(os.environ.get("SDV_BENCH_EXEC_CORES", 8))
 #: protocol merges; ad-hoc executor widths report JSON-only so the
 #: hand-merged section is not clobbered)
 WRITE_MD = os.environ.get("SDV_BENCH_MD", "1") == "1" and EXEC_CORES == 8
-#: heap per executor JVM. The single-JVM study runs local[n] inside one 8g
-#: heap; giving each standalone executor the same 8g is the cluster-model
-#: provisioning (every real executor brings its own heap). The first
-#: 2-core-executor window ran the legacy 4g and stage-level event logs
-#: showed 70%+ of task time in GC at BOTH levels — heap starvation, not a
-#: scaling property.
+#: heap per executor JVM. Keep 4g: a direct same-window A/B (round 5,
+#: BENCH/cluster_2core_*.json) measured the 4×2-core level at 133 s with
+#: 4g heaps vs 288 s with 8g — four 8g AlwaysPreTouch'd heaps re-trigger
+#: this microVM's big-heap pathology (the 10g window's 0.08 ratio, r2)
+#: even though the touch cost itself lands before the timed window. The
+#: earlier heap-starvation reading (70%+ GC at both levels) was a storm
+#: artifact: the GC-heavy window also showed a 1.9× same-level swing and
+#: a 2.0× host stream-probe drift, and the calm-window A/B refuted it.
 EXEC_MEM = os.environ.get("SDV_BENCH_EXEC_MEM", "4g")
 SPARK_HOME = os.path.dirname(pyspark.__file__)
 MASTER_URL = "spark://127.0.0.1:7077"
@@ -99,11 +101,16 @@ spark = build_session(app_name=f"sdv-cluster-{cores}",
                                   # on one host every executor is equally
                                   # "local"; the default 3s locality wait
                                   # instead chases cached blocks onto the
-                                  # one executor that materialized them,
-                                  # serializing whole stages onto 2 cores
-                                  # (event-log evidence: a 9-task stage
-                                  # scheduled 9/9 on executor 0 while 3
-                                  # executors idled)
+                                  # one executor that materialized them
+                                  # (observed: a 9-task stage scheduled
+                                  # 9/9 on executor 0 while 3 executors
+                                  # idled). With 0s the same stages spread
+                                  # evenly (round-5 logs: 2-4 tasks per
+                                  # executor); wall time is within window
+                                  # noise of the 3s runs — placement was a
+                                  # symptom, the binding cost is the
+                                  # inter-JVM shuffle itself (see BASELINE
+                                  # Multi-JVM appendix).
                                   "spark.locality.wait": "0s",
                                   "spark.cores.max": str(cores)})
 import hashlib, inspect
