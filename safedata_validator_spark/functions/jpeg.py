@@ -523,6 +523,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if len(body) < i + 17 + nv or len(bits) < 16:
                     raise JPEGError("truncated DHT")
                 vals = list(body[i + 17 : i + 17 + nv])
+                # B.2.4.2: DC symbols are magnitude categories SSSS 0-15;
+                # anything larger would make the decoder read >16 diff
+                # bits per block and grow the predictor without bound
+                if cls == 0 and any(v > 15 for v in vals):
+                    raise JPEGError("DC Huffman symbol exceeds category 15")
                 (dc_luts if cls == 0 else ac_luts)[tid] = _build_huff_lut(bits, vals)
                 i += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
@@ -611,6 +616,9 @@ def _decode_scan(data, pos, frame, scan, qts, dc_luts, ac_luts, restart_interval
                     size = _decode_huff(br, dc_luts[td])
                     if size:
                         pred[ci] += _extend(br.bits(size), size)
+                    # same int32-store guard as the progressive DC path
+                    if not -(1 << 31) <= pred[ci] < (1 << 31):
+                        raise JPEGError("DC coefficient out of int32 range")
                     zz[0] = pred[ci]
                     k = 1
                     while k < 64:
@@ -704,7 +712,14 @@ def _dec_dc_block(br, store, by, bx, td, ah, al, pred, ci, dc_luts):
         size = _decode_huff(br, dc_luts[td])
         if size:
             pred[ci] += _extend(br.bits(size), size)
-        store[by, bx, 0] = pred[ci] << al
+        v = pred[ci] << al
+        # valid 8-bit streams keep |DC| well under 2^24 (|quantized DC|
+        # <= 2047, Al <= 13); a corrupted diff sequence can walk the
+        # predictor past the int32 coefficient store — reject typed
+        # instead of letting numpy raise OverflowError
+        if not -(1 << 31) <= v < (1 << 31):
+            raise JPEGError("DC coefficient out of int32 range")
+        store[by, bx, 0] = v
     else:  # refinement: one raw bit per block (G.2.1)
         if br.bit():
             store[by, bx, 0] |= 1 << al

@@ -23,7 +23,7 @@ Properties pinned:
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from safedata_validator_spark.functions.avi import avi_frames, encode_avi
@@ -299,6 +299,10 @@ def test_mp4_corruption_typed_errors(seed, nf, fps, pos, val):
     pos=st.floats(min_value=0.0, max_value=1.0),
     val=st.integers(min_value=0, max_value=255),
 )
+# discovered falsifying example: the flipped byte lands in a DHT DC
+# symbol, the decoder read a >16-bit diff per block, and the predictor
+# overflowed the int32 coefficient store (untyped OverflowError)
+@example(seed=0, kind="pjpeg", mode="flip", pos=0.25, val=63)
 def test_image_audio_mutation_typed_errors(seed, kind, mode, pos, val):
     rng = np.random.default_rng(seed)
     if kind == "png":
