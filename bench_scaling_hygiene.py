@@ -85,8 +85,18 @@ def run_repetition(d):
 def run_bpe(d):
     noop(d.select("doc_id", bpe_count(F.col("text")).alias("n_tok")))
 
+def run_spans(d):
+    # NOT row-local (two shuffles: window-hash groupBy + position re-join)
+    # but shares this harness's corpus/protocol; n=8 so the ~20-token docs
+    # carry ~13 windows each instead of one
+    from safedata_validator_spark.functions import spans as sp
+    from safedata_validator_spark.functions.dedup import release
+    out = sp.duplicated_spans(d, "doc_id", "text", n=8)
+    noop(out)
+    release(out)
+
 all_jobs = {"url": run_url, "pii": run_pii, "repetition": run_repetition,
-            "bpe": run_bpe}
+            "bpe": run_bpe, "spans": run_spans}
 jobs = [(n, all_jobs[n]) for n in sys.argv[3].split(",")]
 
 warm = df.limit(20_000)

@@ -1,0 +1,139 @@
+"""Span-level exact-substring dedup (functions/spans.py) vs the
+independent pure-Python reference (tools/purepy_ref.duplicated_spans_ref,
+exact token tuples — agreement also witnesses hash-collision-freeness on
+the corpus), plus plan-shape pins."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from safedata_validator_spark.functions.dedup import release
+from safedata_validator_spark.functions.spans import (
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from purepy_ref import duplicated_spans_ref  # noqa: E402
+
+
+def _spark_spans(spark, docs: dict[int, str], n: int):
+    df = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    out = duplicated_spans(df, "doc_id", "text", n=n)
+    got = {
+        r["id"]: (
+            r["n_tokens"],
+            [(s["s"], s["e"]) for s in r["spans"]],
+            r["n_dup_tokens"],
+        )
+        for r in out.collect()
+    }
+    release(out)
+    return got
+
+
+def _check_against_ref(spark, docs: dict[int, str], n: int):
+    toks, spans = duplicated_spans_ref(docs, n=n)
+    got = _spark_spans(spark, docs, n)
+    assert set(got) == set(docs)
+    for i in docs:
+        want_tokens = len(toks[i])
+        want_spans = spans[i]
+        want_dup = sum(e - s + 1 for s, e in want_spans)
+        assert got[i] == (want_tokens, want_spans, want_dup), (
+            f"doc {i}: got {got[i]}, want {(want_tokens, want_spans, want_dup)}"
+        )
+
+
+BOILER = " ".join(f"b{i}" for i in range(25))
+
+
+def test_planted_boilerplate_found_and_merged(spark):
+    docs = {
+        1: "alpha beta " + BOILER + " gamma delta",
+        2: "start " + BOILER + " end of doc two",
+        3: "totally unique text with many different tokens here indeed",
+    }
+    got = _spark_spans(spark, docs, n=20)
+    # 25 shared tokens = 6 overlapping 20-windows merged to ONE maximal span
+    assert got[1] == (29, [(2, 26)], 25)
+    assert got[2] == (30, [(1, 25)], 25)
+    assert got[3] == (9, [], 0)
+
+
+def test_exact_duplicate_docs_flag_everything(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    got = _spark_spans(spark, {1: text, 2: text}, n=20)
+    assert got[1] == (30, [(0, 29)], 30)
+    assert got[2] == (30, [(0, 29)], 30)
+
+
+def test_within_doc_repeat_not_flagged(spark):
+    # the same 20-token run twice in ONE doc is repetition, not
+    # cross-document duplication (functions/repetition.py's signal)
+    run = " ".join(f"r{i}" for i in range(20))
+    docs = {1: run + " middle " + run, 2: "something else entirely here"}
+    got = _spark_spans(spark, docs, n=20)
+    assert got[1][1] == []
+    assert got[2][1] == []
+
+
+def test_short_empty_and_punctuation_docs(spark):
+    docs = {
+        1: "too short",
+        2: "",
+        3: None,
+        # normalisation folds case/punct: these two share all 4 windows
+        4: "The QUICK--brown fox; jumps over the lazy dog!!",
+        5: "the quick brown fox jumps over the lazy dog",
+    }
+    _check_against_ref(spark, {k: v for k, v in docs.items() if v is not None}, n=6)
+    got = _spark_spans(spark, docs, n=6)
+    assert got[1] == (2, [], 0)
+    assert got[2] == (0, [], 0)
+    assert got[3] == (0, [], 0)
+    assert got[4] == (9, [(0, 8)], 9)
+    assert got[5] == (9, [(0, 8)], 9)
+
+
+def test_remove_duplicated_spans_rebuild(spark):
+    docs = {
+        1: "alpha beta " + BOILER + " gamma delta",
+        2: "start " + BOILER + " end of doc two",
+        3: "nothing shared here at all",
+    }
+    df = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    out = remove_duplicated_spans(df, "doc_id", "text", n=20)
+    got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    release(out)
+    assert got[1] == "alpha beta gamma delta"
+    assert got[2] == "start end of doc two"
+    assert got[3] == "nothing shared here at all"
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_spans_match_purepy_reference(spark, data, n):
+    docs = {i: " ".join(toks) for i, toks in enumerate(data)}
+    _check_against_ref(spark, docs, n)
+
+
+def test_plan_shape(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    plan = duplicated_spans(df, "doc_id", "text", n=2)._jdf.queryExecution().executedPlan().toString()
+    # span merge/count are Column expressions; detection is hash groupBy +
+    # hash join — never Python rows, never a cartesian product
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

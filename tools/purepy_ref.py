@@ -416,3 +416,31 @@ def bpe_token_counts(
             n += memo[wb]
         out.append((did, n, len(REGEX_TOKEN_RE.findall(text))))
     return out
+
+
+def duplicated_spans_ref(docs: dict[int, str], n: int = 20):
+    """Independent reference for functions/spans.py: cross-document
+    duplicated n-token windows -> merged maximal spans per doc. Windows
+    are compared as exact token TUPLES (no hashing), so agreement with
+    the engine also witnesses that xxhash64 did not collide on the
+    corpus. Returns (tokens_by_id, spans_by_id)."""
+    toks = {}
+    for i, t in docs.items():
+        nrm = normalize_text(t)
+        toks[i] = nrm.split(" ") if nrm else []
+    owners: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            owners.setdefault(tuple(ts[p : p + n]), set()).add(i)
+    spans = {}
+    for i, ts in toks.items():
+        merged: list[list[int]] = []
+        for p in range(len(ts) - n + 1):
+            if len(owners[tuple(ts[p : p + n])]) < 2:
+                continue
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + n - 1)
+            else:
+                merged.append([p, p + n - 1])
+        spans[i] = [tuple(m) for m in merged]
+    return toks, spans
