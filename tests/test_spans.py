@@ -137,3 +137,67 @@ def test_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+SPANS_ORACLE_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN []
+              ELSE string_split(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g')), ' ')
+         END AS toks
+  FROM docs),
+wins AS (
+  SELECT doc_id, u.pos - 1 AS pos,
+         array_to_string(toks[u.pos:u.pos+{n}-1], ' ') AS w
+  FROM norm, LATERAL unnest(range(1, greatest(len(toks)-{n}+2, 1))) AS u(pos)),
+dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {n}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM marks),
+merged AS (SELECT doc_id, min(pos) AS s, max(pos)+{n}-1 AS e
+           FROM isl GROUP BY doc_id, g),
+agg AS (SELECT doc_id,
+               list_sort(list(ROW(s, e))) AS spans,
+               sum(e - s + 1) AS n_dup
+        FROM merged GROUP BY doc_id)
+SELECT n.doc_id,
+       len(n.toks) AS n_tokens,
+       coalesce(a.spans, []) AS spans,
+       coalesce(a.n_dup, 0) AS n_dup_tokens
+FROM norm n LEFT JOIN agg a USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+def test_spans_match_duckdb_sql_oracle(spark):
+    """Full ANSI-ish SQL oracle (DuckDB): windows by list slicing,
+    duplicate windows by HAVING over the window TEXT (no hashing — also
+    re-witnesses collision-freeness), span merge by gaps-and-islands."""
+    import duckdb
+
+    boiler = " ".join(f"b{i}" for i in range(11))
+    docs = {
+        1: "alpha beta " + boiler + " gamma " + boiler + " delta",  # two islands
+        2: "start " + boiler + " end of doc two",
+        3: boiler,  # the whole doc is one duplicated span
+        4: "Unique; PUNCT--uated text!! with curious casing",
+        5: "unique punct uated text with curious casing",  # normalises equal to 4
+        6: "",
+    }
+    n = 8
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", sorted(docs.items()))
+    want = {
+        r[0]: (r[1], [tuple(sp) for sp in r[2]], r[3])
+        for r in con.sql(SPANS_ORACLE_SQL.format(n=n)).fetchall()
+    }
+    got = _spark_spans(spark, docs, n)
+    # SQL norm counts the empty doc's token list as [] -> 0, same as Spark
+    assert got == want
