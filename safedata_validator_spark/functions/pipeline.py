@@ -32,10 +32,19 @@ def curate_documents(
     n: int = 3,
     method: str = "exact",
     near_dup_mode: str = "pairs",
+    remove_dup_spans: int | None = None,
 ) -> DataFrame:
     """Curate a document corpus for training:
 
     1. exact dedup on normalized text — the lowest id of each group survives;
+    1b. (``remove_dup_spans=k``) cross-document exact-substring span
+       removal over the exact survivors (``spans.remove_duplicated_spans``
+       with window length k): shared boilerplate/licence runs are stripped
+       IN PLACE before similarity, language and quality are judged, so a
+       doc that is mostly boilerplate plus a unique tail keeps the tail
+       (dropping the whole doc is near-dup removal's job, not this
+       stage's). Off by default — span removal changes text, so the
+       default composition stays byte-identical to the SQL oracle;
     2. near-dup removal over the survivors: pairs with n-gram Jaccard ≥
        ``near_dup_threshold`` (``method``: 'exact' shingle join, or 'minhash'
        for banded MinHash-LSH candidates + exact verification). Removal
@@ -76,6 +85,20 @@ def curate_documents(
         .select("id", "text")
         .persist()
     )
+
+    span_caches: tuple = ()
+    if remove_dup_spans:
+        from safedata_validator_spark.functions import spans as sp
+
+        cleaned = sp.remove_duplicated_spans(
+            exact_kept, "id", "text", n=remove_dup_spans
+        )
+        span_caches = tuple(getattr(cleaned, "_sdv_cached", ())) + (exact_kept,)
+        # the cleaned text feeds pair-finding AND the survivor anti-join,
+        # same double-consumer shape as exact_kept itself
+        exact_kept = (
+            cleaned.select("id", F.col("text_clean").alias("text")).persist()
+        )
 
     if method == "minhash":
         pairs = dd.minhash_lsh_dedup(
@@ -122,5 +145,8 @@ def curate_documents(
     # after materializing
     return dd._hand_off_cache(
         out,
-        tuple(getattr(pairs, "_sdv_cached", ())) + cc_caches + (exact_kept, enriched),
+        tuple(getattr(pairs, "_sdv_cached", ()))
+        + cc_caches
+        + span_caches
+        + (exact_kept, enriched),
     )

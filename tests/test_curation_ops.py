@@ -161,6 +161,57 @@ def test_curate_cluster_mode_drops_transitive_members(spark):
     assert cluster_kept == {1}
 
 
+def test_curate_span_removal_strips_boilerplate_keeps_tails(spark):
+    """remove_dup_spans=k strips cross-doc boilerplate IN PLACE before
+    similarity/quality are judged: boilerplate-heavy docs keep their
+    unique tails instead of being dropped wholesale."""
+    from safedata_validator_spark.functions.dedup import release
+    from safedata_validator_spark.functions.pipeline import curate_documents
+    from safedata_validator_spark.functions.spans import remove_duplicated_spans
+
+    boiler = " ".join(f"license term {i} applies" for i in range(6))  # 24 toks
+    docs = [
+        (1, boiler + " the unique research part about ecology here"),
+        (2, boiler + " a totally different discussion of chemistry instead"),
+        (3, "no shared content in this one at all honestly"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(min_quality=0.0, langs=("und", "en", "de", "fr", "es"),
+              near_dup_threshold=0.9, n=2, method="exact")
+
+    plain = curate_documents(df, **kw)
+    base = {r["id"]: r["ws_tokens"] for r in plain.collect()}
+    release(plain)
+
+    span = curate_documents(df, remove_dup_spans=8, **kw)
+    got = {r["id"]: r["ws_tokens"] for r in span.collect()}
+    release(span)
+
+    # all three survive in both; with span removal the two boilerplate
+    # carriers keep ONLY their 7-token tails, doc 3 is untouched
+    assert set(base) == set(got) == {1, 2, 3}
+    assert base[1] == 24 + 7 and got[1] == 7
+    assert base[2] == 24 + 7 and got[2] == 7
+    assert got[3] == base[3] == 9
+
+    # composition wiring: with no exact dups, the pipeline with
+    # remove_dup_spans=k must equal the pipeline over a corpus pre-cleaned
+    # by spans.remove_duplicated_spans with the same k
+    pre = remove_duplicated_spans(df, "doc_id", "text", n=8)
+    pre_df = spark.createDataFrame(
+        [(r["doc_id"], r["text_clean"]) for r in pre.collect()],
+        ["doc_id", "text"],
+    )
+    release(pre)
+    manual = curate_documents(pre_df, **kw)
+    want = sorted(tuple(r) for r in manual.collect())
+    release(manual)
+    span2 = curate_documents(df, remove_dup_spans=8, **kw)
+    have = sorted(tuple(r) for r in span2.collect())
+    release(span2)
+    assert have == want
+
+
 # ------------------------------------------------------------------ repetition
 
 def test_repetition_profile_hand_computed(spark):
