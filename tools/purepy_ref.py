@@ -444,3 +444,42 @@ def duplicated_spans_ref(docs: dict[int, str], n: int = 20):
                 merged.append([p, p + n - 1])
         spans[i] = [tuple(m) for m in merged]
     return toks, spans
+
+
+def bigram_cross_entropy_ref(docs: dict[int, str], ref: dict[int, str] | None = None,
+                             lam: float = 0.9):
+    """Independent reference for functions/lm_quality.py: interpolated
+    bigram cross-entropy per doc against the reference corpus model,
+    P = lam*c12/c1 + (1-lam)*(c2+1)/(N+V). Exact token/tuple counting (no
+    hashing). Returns {id: (n_tokens, n_bigrams, H_bits|None, ppl|None)}."""
+    import math
+
+    src = docs if ref is None else ref
+    rtoks = {}
+    for i, t in src.items():
+        nrm = normalize_text(t)
+        rtoks[i] = nrm.split(" ") if nrm else []
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    for ts in rtoks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    n_total, vocab = sum(uni.values()), len(uni)
+    out = {}
+    for i, t in docs.items():
+        nrm = normalize_text(t)
+        ts = nrm.split(" ") if nrm else []
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            out[i] = (len(ts), 0, None, None)
+            continue
+        h = 0.0
+        for a, b in pairs:
+            p_bg = bg[(a, b)] / uni[a] if (a, b) in bg else 0.0
+            p_uni = (uni.get(b, 0) + 1) / (n_total + vocab)
+            h += -math.log2(lam * p_bg + (1 - lam) * p_uni)
+        h /= len(pairs)
+        out[i] = (len(ts), len(pairs), h, 2.0 ** h)
+    return out
