@@ -95,8 +95,17 @@ def run_spans(d):
     noop(out)
     release(out)
 
+def run_lm(d):
+    # shuffle-bearing like spans: two count groupBys + three bounded hash
+    # joins from persisted compact token arrays (self-scoring mode)
+    from safedata_validator_spark.functions import lm_quality as lq
+    from safedata_validator_spark.functions.dedup import release
+    out = lq.bigram_cross_entropy(d, "doc_id", "text")
+    noop(out)
+    release(out)
+
 all_jobs = {"url": run_url, "pii": run_pii, "repetition": run_repetition,
-            "bpe": run_bpe, "spans": run_spans}
+            "bpe": run_bpe, "spans": run_spans, "lm": run_lm}
 jobs = [(n, all_jobs[n]) for n in sys.argv[3].split(",")]
 
 warm = df.limit(20_000)

@@ -33,6 +33,7 @@ def curate_documents(
     method: str = "exact",
     near_dup_mode: str = "pairs",
     remove_dup_spans: int | None = None,
+    lm_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Curate a document corpus for training:
 
@@ -55,7 +56,13 @@ def curate_documents(
        doc per component (the minimum id — the SlimPajama/Dolma-style
        one-per-cluster rule). Both deterministic and order-free;
     3. language whitelist (``lang_id``);
-    4. quality floor (``quality_score``).
+    4. quality floor (``quality_score``);
+    5. (``lm_band=(lo_q, hi_q)``) CCNet-style perplexity band over the
+       stage-4 survivors (``lm_quality.perplexity_band``, self-scored):
+       docs outside the [lo_q, hi_q] corpus perplexity quantiles are
+       dropped; docs too short to have bigrams (NULL band) are KEPT —
+       the length floor is stage 4's job. Off by default, keeping the
+       default composition byte-identical to the SQL oracle.
 
     → (id, lang, quality, ws_tokens) for surviving documents.
     """
@@ -140,6 +147,31 @@ def curate_documents(
     out = enriched.where(
         F.col("lang").isin(list(langs)) & (F.col("quality") >= min_quality)
     )
+
+    lm_caches: tuple = ()
+    if lm_band is not None:
+        from safedata_validator_spark.functions import lm_quality as lq
+
+        lo_q, hi_q = lm_band
+        # band over the stage-4 survivors' TEXT (rejoin the cached
+        # exact_kept spine by id — `out` is the text-free enrichment)
+        banded = lq.perplexity_band(
+            exact_kept.join(out.select("id"), "id", "left_semi"),
+            "id",
+            "text",
+            lo_quantile=lo_q,
+            hi_quantile=hi_q,
+        )
+        lm_caches = tuple(getattr(banded, "_sdv_cached", ()))
+        keep = banded.where(
+            F.col("band").isNull() | (F.col("band") == "keep")
+        ).select("id")
+        # NO broadcast here: unlike the near-dup drop list (bounded by
+        # pair count), the keep list is O(surviving corpus) — a plain
+        # semi-join shuffles 8-byte ids on both sides instead of shipping
+        # the whole id set to every executor
+        out = out.join(keep, "id", "left_semi")
+
     # the pair-finding stage persisted its shingle extraction; hand that
     # cache plus our own exact_kept up so the caller can dd.release(out)
     # after materializing
@@ -148,5 +180,6 @@ def curate_documents(
         tuple(getattr(pairs, "_sdv_cached", ()))
         + cc_caches
         + span_caches
+        + lm_caches
         + (exact_kept, enriched),
     )

@@ -212,6 +212,37 @@ def test_curate_span_removal_strips_boilerplate_keeps_tails(spark):
     assert have == want
 
 
+def test_curate_lm_band_drops_extremes_keeps_middle_and_short(spark):
+    """lm_band=(lo,hi) drops the self-scored perplexity extremes among
+    the stage-4 survivors: the all-common-bigrams doc (low) and the
+    novel-reorder doc (high) go; the mid docs stay; a doc too short to
+    have bigrams (NULL band) is KEPT — length floors are stage 4's job."""
+    from safedata_validator_spark.functions.dedup import release
+    from safedata_validator_spark.functions.pipeline import curate_documents
+
+    mids = [
+        (i, f"the cat sat on the mat and the dog ran here variant{i}")
+        for i in range(1, 6)
+    ]
+    docs = mids + [
+        (50, "the cat sat on the mat and the dog ran here"),  # lowest ppl
+        (51, "here ran dog the and mat the on sat cat the"),  # highest ppl
+        (52, "x"),  # no bigrams -> NULL band -> kept
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(min_quality=0.0, langs=("und", "en", "de", "fr", "es"),
+              near_dup_threshold=1.1, n=3, method="exact")  # no near-dup drops
+
+    plain = curate_documents(df, **kw)
+    assert {r["id"] for r in plain.collect()} == {1, 2, 3, 4, 5, 50, 51, 52}
+    release(plain)
+
+    banded = curate_documents(df, lm_band=(0.2, 0.8), **kw)
+    kept = {r["id"] for r in banded.collect()}
+    release(banded)
+    assert kept == {1, 2, 3, 4, 5, 52}
+
+
 # ------------------------------------------------------------------ repetition
 
 def test_repetition_profile_hand_computed(spark):
