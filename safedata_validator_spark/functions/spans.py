@@ -203,3 +203,90 @@ def remove_duplicated_spans(
         .drop("__sid", "spans")
     )
     return carry(spans_df, out)
+
+
+def decontaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Surgical decontamination, detection half: → (id, n_tokens, spans,
+    n_spans, n_dup_tokens) for the TRAINING docs containing at least one
+    n-token window that appears verbatim anywhere in the EVAL corpus
+    (docs without leaks are omitted — the output is bounded by leak
+    volume, not corpus size). ``dedup.decontaminate`` COUNTS the hits to
+    drop whole documents; this locates the leaked passages as merged
+    maximal spans so ``remove_decontaminated_spans`` can excise just them.
+
+    Scale shape: the eval side is tiny next to training, so its distinct
+    window-hash set rides a BROADCAST semi-join against the row-locally
+    exploded training windows — the 100-TB side's only exchange is the
+    per-doc position regroup, bounded by |leaked windows|.
+    """
+    hashed = window_hash_array(train, id_col, text_col, n).persist()
+    eval_whs = (
+        window_hash_array(eval_df, id_col, text_col, n)
+        .select(F.explode("whs").alias("wh"))
+        .distinct()
+    )
+    starts = (
+        _exploded(hashed)
+        .join(F.broadcast(eval_whs), "wh", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    out = (
+        hashed.select("id", "n_tokens")
+        .join(starts, "id")
+        .select("id", "n_tokens", _merge_starts(F.col("starts"), n).alias("spans"))
+        .withColumn("n_spans", F.size("spans"))
+        .withColumn(
+            "n_dup_tokens",
+            F.aggregate(
+                "spans", F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"] + F.lit(1)
+            ),
+        )
+    )
+    return _hand_off_cache(out, (hashed,))
+
+
+def remove_decontaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """→ training columns + (n_tokens, n_dup_tokens, text_clean): the
+    normalised text with every eval-leaked span excised; docs without
+    leaks pass through with n_dup_tokens = 0 and their normalised text.
+
+    The rebuild left-joins training against the flagged set — bounded by
+    leak volume, usually tiny; left to AQE rather than a broadcast hint
+    because a pathological eval (e.g. a licence block the whole corpus
+    shares) can flag every document.
+    """
+    spans_df = decontaminated_spans(train, eval_df, id_col, text_col, n)
+    marked = spans_df.select(
+        F.col("id").alias("__sid"), F.col("n_dup_tokens").alias("__dup"), "spans"
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_tok = F.when(F.element_at(toks, 1) == "", F.lit(0)).otherwise(F.size(toks))
+    spans = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(spans, lambda sp: (i >= sp["s"]) & (i <= sp["e"])),
+    )
+    out = (
+        train.join(marked, F.col(id_col) == F.col("__sid"), "left")
+        .withColumn("n_tokens", n_tok.cast("int"))
+        .withColumn("n_dup_tokens", F.coalesce("__dup", F.lit(0)))
+        .withColumn(
+            "text_clean",
+            F.when(n_tok == 0, F.lit("")).otherwise(F.array_join(kept, " ")),
+        )
+        .drop("__sid", "__dup", "spans")
+    )
+    return carry(spans_df, out)

@@ -201,3 +201,97 @@ def test_spans_match_duckdb_sql_oracle(spark):
     got = _spark_spans(spark, docs, n)
     # SQL norm counts the empty doc's token list as [] -> 0, same as Spark
     assert got == want
+
+
+# ------------------------------------------- surgical decontamination
+
+from safedata_validator_spark.functions.spans import (  # noqa: E402
+    decontaminated_spans,
+    remove_decontaminated_spans,
+)
+from purepy_ref import decontaminated_spans_ref  # noqa: E402
+
+EVAL_PASSAGE = " ".join(f"eval tok {i}" for i in range(8))  # 24 tokens
+
+
+def _spark_decon_spans(spark, train, eval_docs, n):
+    tdf = spark.createDataFrame(sorted(train.items()), ["doc_id", "text"])
+    edf = spark.createDataFrame(sorted(eval_docs.items()), ["doc_id", "text"])
+    out = decontaminated_spans(tdf, edf, "doc_id", "text", n=n)
+    got = {
+        r["id"]: [(s["s"], s["e"]) for s in r["spans"]] for r in out.collect()
+    }
+    release(out)
+    return got
+
+
+def test_decon_spans_flag_only_leaked_docs(spark):
+    train = {
+        1: "intro words " + EVAL_PASSAGE + " outro words",
+        2: "totally clean document with no leak at all here",
+        3: EVAL_PASSAGE,  # the whole doc is the eval passage
+    }
+    eval_docs = {9: "前" * 0 + EVAL_PASSAGE + " plus more eval only content"}
+    got = _spark_decon_spans(spark, train, eval_docs, n=20)
+    toks, want = decontaminated_spans_ref(train, eval_docs, n=20)
+    assert got == want
+    assert set(got) == {1, 3}  # doc 2 (clean) omitted from the output
+    assert got[1] == [(2, 25)]
+    assert got[3] == [(0, 23)]
+
+
+def test_remove_decon_spans_excises_leak_keeps_rest(spark):
+    train = {
+        1: "intro words " + EVAL_PASSAGE + " outro words",
+        2: "totally clean document stays as its normalised self",
+        3: EVAL_PASSAGE,
+    }
+    eval_docs = {9: EVAL_PASSAGE}
+    tdf = spark.createDataFrame(sorted(train.items()), ["doc_id", "text"])
+    edf = spark.createDataFrame(sorted(eval_docs.items()), ["doc_id", "text"])
+    out = remove_decontaminated_spans(tdf, edf, "doc_id", "text", n=20)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["text_clean"])
+        for r in out.collect()
+    }
+    release(out)
+    assert got[1] == (28, 24, "intro words outro words")
+    assert got[2] == (8, 0, "totally clean document stays as its normalised self")
+    assert got[3] == (24, 24, "")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=4,
+    ),
+    evals=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=25),
+        min_size=1,
+        max_size=3,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_decon_spans_match_purepy(spark, train, evals, n):
+    tdocs = {i: " ".join(t) for i, t in enumerate(train)}
+    edocs = {100 + i: " ".join(t) for i, t in enumerate(evals)}
+    got = _spark_decon_spans(spark, tdocs, edocs, n)
+    _, want = decontaminated_spans_ref(tdocs, edocs, n=n)
+    assert got == want
+
+
+def test_decon_plan_broadcasts_eval_side(spark):
+    tdf = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    edf = spark.createDataFrame([(9, "a b c e")], ["doc_id", "text"])
+    plan = (
+        decontaminated_spans(tdf, edf, "doc_id", "text", n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the 100-TB side's window match must ride a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

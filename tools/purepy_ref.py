@@ -483,3 +483,34 @@ def bigram_cross_entropy_ref(docs: dict[int, str], ref: dict[int, str] | None = 
         h /= len(pairs)
         out[i] = (len(ts), len(pairs), h, 2.0 ** h)
     return out
+
+
+def decontaminated_spans_ref(train: dict[int, str], eval_docs: dict[int, str],
+                             n: int = 20):
+    """Independent reference for spans.decontaminated_spans: training-doc
+    windows appearing verbatim anywhere in the eval corpus -> merged
+    maximal spans per flagged doc (exact token tuples, no hashing).
+    Returns (tokens_by_id, spans_by_flagged_id)."""
+    def toks_of(t):
+        nrm = normalize_text(t)
+        return nrm.split(" ") if nrm else []
+
+    eval_wins = set()
+    for t in eval_docs.values():
+        ts = toks_of(t)
+        for p in range(len(ts) - n + 1):
+            eval_wins.add(tuple(ts[p : p + n]))
+    toks = {i: toks_of(t) for i, t in train.items()}
+    spans = {}
+    for i, ts in toks.items():
+        merged: list[list[int]] = []
+        for p in range(len(ts) - n + 1):
+            if tuple(ts[p : p + n]) not in eval_wins:
+                continue
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + n - 1)
+            else:
+                merged.append([p, p + n - 1])
+        if merged:
+            spans[i] = [tuple(m) for m in merged]
+    return toks, spans
