@@ -104,8 +104,21 @@ def run_lm(d):
     noop(out)
     release(out)
 
+def run_dspans(d):
+    # surgical decontamination: 0.5% eval slice (the decon bench's split);
+    # eval window hashes broadcast, training side's only exchange is the
+    # leak-bounded position regroup
+    from safedata_validator_spark.functions import spans as sp
+    from safedata_validator_spark.functions.dedup import release
+    ev = d.where(F.col("doc_id") % 200 == 0)
+    tr = d.where(F.col("doc_id") % 200 != 0)
+    out = sp.decontaminated_spans(tr, ev, "doc_id", "text", n=8)
+    noop(out)
+    release(out)
+
 all_jobs = {"url": run_url, "pii": run_pii, "repetition": run_repetition,
-            "bpe": run_bpe, "spans": run_spans, "lm": run_lm}
+            "bpe": run_bpe, "spans": run_spans, "lm": run_lm,
+            "dspans": run_dspans}
 jobs = [(n, all_jobs[n]) for n in sys.argv[3].split(",")]
 
 warm = df.limit(20_000)
