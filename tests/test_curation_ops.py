@@ -243,6 +243,38 @@ def test_curate_lm_band_drops_extremes_keeps_middle_and_short(spark):
     assert kept == {1, 2, 3, 4, 5, 52}
 
 
+def test_curate_span_and_band_stages_compose_in_order(spark):
+    """Both optional stages together: span removal rewrites the text
+    BEFORE the band is scored, so the composition must equal banding a
+    corpus pre-cleaned by spans.remove_duplicated_spans (no exact dups,
+    so stage 1 is the identity and order is fully pinned)."""
+    from safedata_validator_spark.functions.dedup import release
+    from safedata_validator_spark.functions.pipeline import curate_documents
+    from safedata_validator_spark.functions.spans import remove_duplicated_spans
+
+    boiler = " ".join(f"license term {i} applies" for i in range(6))
+    docs = [(i, boiler + f" the cat sat on the mat variant number {i} here")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kw = dict(min_quality=0.0, langs=("und", "en", "de", "fr", "es"),
+              near_dup_threshold=1.1, n=3, method="exact")
+
+    pre = remove_duplicated_spans(df, "doc_id", "text", n=8)
+    pre_df = spark.createDataFrame(
+        [(r["doc_id"], r["text_clean"]) for r in pre.collect()],
+        ["doc_id", "text"],
+    )
+    release(pre)
+    manual = curate_documents(pre_df, lm_band=(0.2, 0.8), **kw)
+    want = sorted(tuple(r) for r in manual.collect())
+    release(manual)
+
+    combined = curate_documents(df, remove_dup_spans=8, lm_band=(0.2, 0.8), **kw)
+    have = sorted(tuple(r) for r in combined.collect())
+    release(combined)
+    assert have == want and len(have) > 0
+
+
 # ------------------------------------------------------------------ repetition
 
 def test_repetition_profile_hand_computed(spark):
