@@ -125,6 +125,13 @@ def bigram_cross_entropy(
     p_uni = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (F.col("__n") + F.col("__v"))
     p = F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni
 
+    # scoring joins run on the occurrence STREAM deliberately: a
+    # groupBy(id, bigram) pre-aggregation (weighted mean — measured as an
+    # alternative) only pays off on repetitive corpora; on low-repetition
+    # corpora its aggregation hash state holds every occurrence as a
+    # distinct 4-long key and OOM'd the 8 GB heap at 10M/local[32] where
+    # this streaming shape completes (239.8 s, GC warnings only). Streams
+    # through joins keep per-task state flat regardless of corpus shape.
     scored = (
         _bigram_view(toks)
         .join(bg_counts, "bgh", "left")
