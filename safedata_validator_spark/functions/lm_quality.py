@@ -125,13 +125,21 @@ def bigram_cross_entropy(
     p_uni = (F.coalesce(F.col("c2"), F.lit(0)) + 1) / (F.col("__n") + F.col("__v"))
     p = F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_uni
 
-    # scoring joins run on the occurrence STREAM deliberately: a
-    # groupBy(id, bigram) pre-aggregation (weighted mean — measured as an
-    # alternative) only pays off on repetitive corpora; on low-repetition
-    # corpora its aggregation hash state holds every occurrence as a
-    # distinct 4-long key and OOM'd the 8 GB heap at 10M/local[32] where
-    # this streaming shape completes (239.8 s, GC warnings only). Streams
-    # through joins keep per-task state flat regardless of corpus shape.
+    # scoring joins run on the occurrence STREAM deliberately — two
+    # alternatives were measured and rejected at 10M/local[32]:
+    # (1) groupBy(id, bigram) pre-aggregation (weighted mean): only pays
+    #     off on repetitive corpora; on low-repetition ones its hash
+    #     state holds every occurrence as a distinct 4-long key and
+    #     OOM'd the 8 GB heap.
+    # (2) resolving c12/c1 on the model side to drop the c1 probe join:
+    #     on low-repetition corpora |distinct bigrams| ≈ |occurrences|,
+    #     so the "small" model-side join is occurrence-scale and the net
+    #     is a LOSS (132.4 s → 143.3 s at 12 GB); it would win only on
+    #     strongly Zipf-shaped corpora.
+    # Heap note: at 10M/local[32] this op is squeezed by the persisted
+    # token cache + 32 concurrent join tasks in the default 8 GB heap
+    # (completes some windows at ~240 s, OOMs others);
+    # SPARK_DRIVER_MEM=12g runs it at 132.4 s / 75.5k docs/sec.
     scored = (
         _bigram_view(toks)
         .join(bg_counts, "bgh", "left")
