@@ -1689,6 +1689,189 @@ def q_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_exact(d, "doc_id", "text")
 
 
+#: window length for the cross-document span-dedup / surgical-decon gates
+#: (short enough that the synthetic corpus' planted duplicates produce
+#: non-trivial merged spans at the driver's sf0.01)
+SPAN_N = 12
+#: eval slice for the surgical-decontamination gate: every 7th doc plays
+#: the held-out benchmark, the rest are the training corpus
+DECON_EVAL_MOD = 7
+
+#: shared DuckDB normalisation + n-token-window CTE body (the SQL twin of
+#: functions.text.normalize_text + functions.spans.window_hash_array, except
+#: the oracle keeps the window TEXT instead of hashing — agreement therefore
+#: also re-witnesses xxhash64 collision-freeness on the corpus)
+_SQL_SPAN_NORM = """
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN []
+              ELSE string_split(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g')), ' ')
+         END AS toks
+  FROM documents
+"""
+
+
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring span dedup (functions.spans — the
+    Lee et al. 2022 suffix-array signal re-expressed as one map-side-
+    combined window-hash groupBy): every maximal merged span of >= SPAN_N
+    consecutive normalised tokens shared verbatim by 2+ documents,
+    flattened to one row per span. Full live DuckDB oracle: windows by
+    list slicing over the window TEXT, duplicates by HAVING min!=max,
+    span merge by gaps-and-islands."""
+    from safedata_validator_spark.functions import spans as sps
+
+    d = _t(spark, sf_dir, "documents")
+    out = sps.duplicated_spans(d, "doc_id", "text", n=SPAN_N)
+    flat = (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.explode("spans").alias("sp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+        )
+    )
+    return dd.carry(out, flat)
+
+
+SQL_SPAN_DEDUP_DOCS = f"""
+WITH norm AS ({_SQL_SPAN_NORM}),
+wins AS (
+  SELECT doc_id, u.pos - 1 AS pos,
+         array_to_string(toks[u.pos:u.pos+{SPAN_N - 1}], ' ') AS w
+  FROM norm, LATERAL unnest(range(1, greatest(len(toks)-{SPAN_N}+2, 1))) AS u(pos)),
+dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_N}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM marks),
+merged AS (SELECT doc_id, min(pos) AS s, max(pos)+{SPAN_N}-1 AS e
+           FROM isl GROUP BY doc_id, g)
+SELECT m.doc_id,
+       CAST(len(n.toks) AS INTEGER) AS n_tokens,
+       CAST(m.s AS INTEGER) AS span_start,
+       CAST(m.e AS INTEGER) AS span_end
+FROM merged m JOIN norm n USING (doc_id)
+"""
+
+
+def q_decon_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (functions.spans.decontaminated_spans):
+    locate eval-leaked passages in the training slice as merged maximal
+    spans — the eval side's distinct window hashes broadcast against the
+    row-locally exploded training windows, output bounded by leak volume.
+    Eval slice = every DECON_EVAL_MOD-th doc; training = the rest. Full
+    live DuckDB oracle over the same window/merge semantics."""
+    from safedata_validator_spark.functions import spans as sps
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    ev = d.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    out = sps.decontaminated_spans(train, ev, "doc_id", "text", n=SPAN_N)
+    flat = (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.explode("spans").alias("sp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+        )
+    )
+    return dd.carry(out, flat)
+
+
+SQL_DECON_SPANS_DOCS = f"""
+WITH norm AS ({_SQL_SPAN_NORM}),
+wins AS (
+  SELECT doc_id, u.pos - 1 AS pos,
+         array_to_string(toks[u.pos:u.pos+{SPAN_N - 1}], ' ') AS w
+  FROM norm, LATERAL unnest(range(1, greatest(len(toks)-{SPAN_N}+2, 1))) AS u(pos)),
+ewins AS (SELECT DISTINCT w FROM wins WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+  SELECT doc_id, pos FROM wins
+  WHERE doc_id % {DECON_EVAL_MOD} <> 0 AND w IN (SELECT w FROM ewins)),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SPAN_N}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM marks),
+merged AS (SELECT doc_id, min(pos) AS s, max(pos)+{SPAN_N}-1 AS e
+           FROM isl GROUP BY doc_id, g)
+SELECT m.doc_id,
+       CAST(len(n.toks) AS INTEGER) AS n_tokens,
+       CAST(m.s AS INTEGER) AS span_start,
+       CAST(m.e AS INTEGER) AS span_end
+FROM merged m JOIN norm n USING (doc_id)
+"""
+
+
+#: interpolation weight for the LM-quality gate (CCNet-style bigram model)
+LM_LAM = 0.9
+
+
+def q_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical LM quality (functions.lm_quality): every doc
+    scored with the interpolated bigram cross-entropy of the corpus's OWN
+    statistics (self-scoring measures repetitiveness/templatedness — the
+    CCNet signal with the corpus as its own reference). Full live DuckDB
+    oracle: reference counts by GROUP BY over unnested token/bigram
+    streams, the same interpolated probability, avg(-log2 p) per doc.
+    Docs with < 2 tokens have NULL cross_entropy in both engines."""
+    from safedata_validator_spark.functions import lm_quality as lmq
+
+    d = _t(spark, sf_dir, "documents")
+    out = lmq.bigram_cross_entropy(d, "doc_id", "text", lam=LM_LAM)
+    flat = out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_bigrams",
+        "cross_entropy",
+    )
+    return dd.carry(out, flat)
+
+
+SQL_LM_QUALITY_DOCS = f"""
+WITH norm AS ({_SQL_SPAN_NORM}),
+runi AS (SELECT u.w, count(*) AS c FROM norm, LATERAL unnest(toks) AS u(w) GROUP BY u.w),
+rbg AS (SELECT toks[p.i] AS w1, toks[p.i+1] AS w2, count(*) AS c12
+        FROM norm, LATERAL unnest(range(1, greatest(len(toks), 1))) AS p(i)
+        GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM runi),
+dbg AS (SELECT doc_id, toks[p.i] AS w1, toks[p.i+1] AS w2
+        FROM norm, LATERAL unnest(range(1, greatest(len(toks), 1))) AS p(i)),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         avg(-log2({LM_LAM} * coalesce(rbg.c12 * 1.0 / u1.c, 0.0)
+                   + {1.0 - LM_LAM} * (coalesce(u2.c, 0) + 1.0) / (tot.n + tot.v))) AS h
+  FROM dbg
+  LEFT JOIN rbg ON dbg.w1 = rbg.w1 AND dbg.w2 = rbg.w2
+  LEFT JOIN runi u1 ON dbg.w1 = u1.w
+  LEFT JOIN runi u2 ON dbg.w2 = u2.w
+  CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(len(n.toks) AS INTEGER) AS n_tokens,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(s.h, 6) AS cross_entropy
+FROM norm n LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap pairs (MOSS-style local-similarity
     detection): docs sharing ≥ min_common selected k-gram hashes. Explode +
@@ -3079,8 +3262,6 @@ QUERIES = {
     "levels_audit_events": q_levels_audit_events,
     "extent_orders": q_extent_orders,
     "drift_psi_lineitem": q_drift_psi_lineitem,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
     "topk_parts_per_brand": q_topk_parts_per_brand,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3090,8 +3271,12 @@ QUERIES = {
     "hierarchy_closure": q_hierarchy_closure,
     "name_resolution_events": q_name_resolution_events,
     "hierarchy_congruence_events": q_hierarchy_congruence_events,
-    "sessionize_events": q_sessionize_events,
     "media_features": q_media_features,
+    # round-5 training-hygiene ops (cross-doc span dedup, surgical
+    # decontamination, LM quality) — full live DuckDB oracles
+    "span_dedup_docs": q_span_dedup_docs,
+    "decon_spans_docs": q_decon_spans_docs,
+    "lm_quality_docs": q_lm_quality_docs,
     "quality_docs": q_quality_docs,
     "wkt_geo_audit": q_wkt_geo_audit,
     "ogc_validity_audit": q_ogc_validity_audit,
@@ -3132,6 +3317,12 @@ QUERIES = {
 #: headline composition must stay comparable round-over-round
 BENCH_QUERIES = {
     **QUERIES,
+    # relational extras displaced from the 50-entry driver catalog by the
+    # round-5 hygiene gates; bench.py's HEADLINE composition still times
+    # pricing_summary / top_revenue_orders round-over-round
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "sessionize_events": q_sessionize_events,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "png_decode_audit": q_png_decode_audit,
@@ -3170,8 +3361,9 @@ ORACLES = {
     "levels_audit_events": SQL_LEVELS_AUDIT_EVENTS,
     "extent_orders": SQL_EXTENT_ORDERS,
     "drift_psi_lineitem": SQL_DRIFT_PSI_LINEITEM,
-    "pricing_summary": SQL_PRICING_SUMMARY,
-    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
+    "decon_spans_docs": SQL_DECON_SPANS_DOCS,
+    "lm_quality_docs": SQL_LM_QUALITY_DOCS,
     "topk_parts_per_brand": SQL_TOPK_PARTS_PER_BRAND,
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
@@ -3181,7 +3373,6 @@ ORACLES = {
     "hierarchy_closure": SQL_HIERARCHY_CLOSURE,
     "name_resolution_events": SQL_NAME_RESOLUTION_EVENTS,
     "hierarchy_congruence_events": SQL_HIERARCHY_CONGRUENCE_EVENTS,
-    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "transcript_verdicts": SQL_TRANSCRIPT_VERDICTS,
     "stream_sequence_events": SQL_STREAM_SEQUENCE_EVENTS,
     "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,

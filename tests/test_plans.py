@@ -387,6 +387,9 @@ def test_catalog_queries_release_all_caches(spark):
         "curate_corpus",
         "curate_corpus_cluster",
         "decontaminate_docs",
+        "span_dedup_docs",
+        "decon_spans_docs",
+        "lm_quality_docs",
     ):
         before = _ids()
         q = QUERIES[name](spark, SF)
