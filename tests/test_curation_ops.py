@@ -449,3 +449,42 @@ def test_connected_components_reports_rounds(spark):
     assert stats["rounds"] >= 1
     assert {r["component"] for r in cc} == {0}
     assert {r["id"] for r in cc} == set(range(21))
+
+
+def test_minhash_signature_fold_matches_materialized_form(spark):
+    # signatures_from_hash_arrays computes each permutation as an
+    # aggregate() fold with a scalar accumulator (zero intermediate-array
+    # allocation — the 10M-doc wide-level contention fix). The fold MUST
+    # stay value-identical to the straightforward
+    # array_min(transform(hs, h -> xxhash64(h, p))) reading of the spec:
+    # pinned here so an execution-shape refactor can't silently change
+    # signature values (goldens and LSH buckets both derive from them).
+    from safedata_validator_spark.functions.dedup import (
+        shingle_hash_array,
+        signatures_from_hash_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma tok{i % 3} delta common text {i}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    arr = shingle_hash_array(docs, "doc_id", "text").where(F.size("hs") > 0)
+    fold = signatures_from_hash_arrays(arr, num_perm=8)
+    ref = arr.select(
+        "id",
+        F.array(*[
+            F.array_min(
+                F.transform("hs", (lambda q: (lambda h: F.xxhash64(h, F.lit(q))))(p))
+            )
+            for p in range(8)
+        ]).alias("signature"),
+    )
+    mism = (
+        fold.alias("f")
+        .join(ref.alias("r"), "id")
+        .where(F.col("f.signature") != F.col("r.signature"))
+        .count()
+    )
+    assert fold.count() == 40
+    assert mism == 0
