@@ -79,11 +79,18 @@ def winnow(grams_col: Column, w: int = 4) -> Column:
     re-evaluated per window — O(n²) regex work per row. Use
     ``with_chargram_fingerprints`` for the correctly-staged composition."""
     n_windows = F.size(grams_col) - (w - 1)
+    # per-window min as least() over w element_at calls, NOT
+    # array_min(slice(...)): slice materializes a fresh w-element array per
+    # window position (~12 KB of short-lived allocations per document at
+    # k=8/w=4 — ~120 GB of allocator/L3 traffic across a 10M-doc corpus,
+    # the same contention class the minhash signature fold removes). w is a
+    # plan-time constant and gram hashes are never null, so least() is
+    # value-identical with zero intermediate arrays.
     selected = F.when(
         n_windows >= 1,
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams_col, j, w)),
+            lambda j: F.least(*[F.element_at(grams_col, j + off) for off in range(w)]),
         ),
     ).otherwise(grams_col)  # fewer grams than a window: keep them all
     return F.sort_array(F.array_distinct(selected))
