@@ -638,7 +638,16 @@ def dup_clusters(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on each bit of its
     hash; the signature is the sign vector. One explode + one aggregation
-    with 64 sum() columns (all JVM-side bit arithmetic) → (id, simhash)."""
+    with 64 sum() columns (all JVM-side bit arithmetic) → (id, simhash).
+
+    The explode + hash-agg shape is DELIBERATE — do not "optimize" it into
+    a row-local 64-fold like the minhash signatures: sum() columns run in
+    whole-stage-codegen'd hash aggregation, while higher-order-function
+    folds are interpreted; an A/B at 1M docs measured the fold variant
+    2.5× SLOWER (28.0 s vs 10.6–12.0 s at local[4], values identical).
+    The minhash fold won for the opposite reason: there the baseline was
+    itself an interpreted higher-order pipeline whose transform()
+    materialized per-permutation arrays — codegen was never available."""
     toks = (
         df.select(
             F.col(id_col).alias("id"),
