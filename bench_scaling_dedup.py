@@ -74,13 +74,24 @@ if mem_per_core:
 # the committed harness instead of an ad-hoc probe script
 import os as _os
 spill_dir = None
-extra = {}
+# scan split size 32 MB, IDENTICAL at every level (like the shuffle-
+# partition rule above): the default 128 MB coalesces the 64-file 10M-doc
+# table into ~11 scan splits, and the dominant pipeline stages (shingle →
+# signature → banding run inside the scan stage) then pack 11 tasks into
+# 2 ragged waves at local[8] — per-stage event-log decomposition
+# (tools/stage_scaling.py, 2-vs-8 cores) showed the two big 11-task
+# stages at wall efficiency 0.62-0.83 with task-time ratios near 1, i.e.
+# wave packing, not compute, was the loss. A 100 TB corpus yields
+# millions of splits at ANY split size — the coarse-split starvation is
+# a small-corpus sandbox artifact the level-independent 32 MB rule
+# removes without favoring any level.
+extra = {"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)}
 if _os.environ.get("SDV_BENCH_SPILL") == "1":
     import tempfile
     spill_dir = tempfile.mkdtemp(prefix=f"sdv_evlog_{cores}_")
-    extra = {"spark.eventLog.enabled": "true",
-             "spark.eventLog.compress": "false",
-             "spark.eventLog.dir": f"file://{spill_dir}"}
+    extra.update({"spark.eventLog.enabled": "true",
+                  "spark.eventLog.compress": "false",
+                  "spark.eventLog.dir": f"file://{spill_dir}"})
 spark = build_session(app_name=f"sdv-dedup-scale-{cores}",
                       master=f"local[{cores}]", shuffle_partitions=parts,
                       extra_conf=extra)
