@@ -141,6 +141,18 @@ def run(spark, sf_dir: str, sf: float) -> dict:
     if df is None:
         transcripts_scaled(spark, n_turns).repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(src)
         df = spark.read.parquet(src)
+    # scan-split sizing by data volume (see session.tune_scan_splits): the
+    # default 128 MB split + 4 MB open cost planned the 75 MB in-suite
+    # flagship table as THREE scan splits — the fused single-scan rule
+    # evaluation runs inside the scan stage, so it capped at 3-way
+    # parallelism on a 32-core level. At sf0.1 the 4 MB floor binds
+    # (~19-33 splits); at production volume the 128 MB ceiling restores
+    # native behavior. Applied before any timed query; re-read below so
+    # the flagship scan picks up the new split plan.
+    from safedata_validator_spark.session import tune_scan_splits
+
+    tune_scan_splits(spark, sf_dir, src)
+    df = spark.read.parquet(src)
     engine = ValidationEngine()
     rs = transcript_ruleset()
     d = dims(spark)

@@ -80,6 +80,15 @@ try:
 except Exception:
     transcripts_scaled(spark, n_turns).repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(src)
     df = spark.read.parquet(src)
+# scan-split sizing from the table's bytes ONLY (level-independent, like
+# the shuffle-partition rule): the default 128 MB split + 4 MB open cost
+# planned this 673 MB 64-file table as EIGHT scan splits, capping the
+# fused rule scan at 8-way parallelism — wide levels idled in ragged
+# waves and the loss was misattributed to memory bandwidth. ~128 splits
+# here; the 128 MB ceiling restores native behavior at production volume.
+from safedata_validator_spark.session import tune_scan_splits
+tune_scan_splits(spark, src)
+df = spark.read.parquet(src)
 engine, rs, d = ValidationEngine(), transcript_ruleset(), dims(spark)
 # warm whole-stage codegen on a tiny slice (generated classes are source-
 # keyed, so the timed run reuses them): compile time is a fixed JVM cost,
