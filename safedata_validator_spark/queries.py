@@ -28,13 +28,66 @@ from safedata_validator_spark.golden_oracles import GOLDEN_ORACLES
 #: Iceberg/metastore catalog — the schema never comes from data files).
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
+#: (sf_dir, table) → (planned scan splits, total file bytes): feeds the
+#: small-input parallelism guard below without re-planning per call.
+_SPLIT_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Tables below this size skip the guard: their downstream role is a
+#: broadcast/dimension side where an extra exchange buys nothing.
+_SPREAD_MIN_BYTES = 128 * 1024
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     key = (sf_dir, name)
     path = f"{sf_dir}/{name}.parquet"
     if key not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
-    return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    if not spread:
+        return df
+    # Small-input scan-parallelism guard (opt guide §2.5, "input skew: one
+    # huge unsplittable file ... repartition immediately after the read"):
+    # a compact table whose planned scan yields fewer splits than the
+    # session's parallelism serializes every downstream row-local
+    # computation — normalize/shingle/regex projections measured as
+    # SINGLE-task 1.6-4.6 s jobs on a 32-core level — onto a handful of
+    # cores. One round-robin exchange of the (small) input restores full
+    # parallelism; at production volume the scan plans >= cores splits at
+    # any sane maxPartitionBytes and the guard is a no-op, so nothing here
+    # is tuned to the sandbox. OPT-IN (``spread=True``) per query: only
+    # paths whose pre-exchange work is compute-dense (text regex/shingle
+    # projections, wide aggregations, vector scoring) benefit; a light
+    # query's first shuffle already spreads it, so the extra exchange
+    # would be pure cost — and order-sensitive double aggregations
+    # (lm_quality's occurrence-stream avg) must keep their byte-identical
+    # plan lineage.
+    n = spark.sparkContext.defaultParallelism
+    if key not in _SPLIT_CACHE:
+        import os as _os
+
+        total = 0
+        if _os.path.isdir(path):
+            for root, _dirs, files in _os.walk(path):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        else:
+            total = _os.path.getsize(path)
+        _SPLIT_CACHE[key] = (df.rdd.getNumPartitions(), total)
+    n_splits, total = _SPLIT_CACHE[key]
+    if n_splits < n and total >= _SPREAD_MIN_BYTES:
+        # hash-repartition on the leading (key) column, not round-robin:
+        # a keyless repartition(n) pays SPARK-23207's per-row full-row
+        # sort on the (single-task) map side — measured 1.4 s serialized
+        # on the text table — while hash partitioning is one murmur3 per
+        # row, deterministic under retries, and every spread table leads
+        # with a high-cardinality id column that spreads evenly.
+        df = df.repartition(n, F.col(df.columns[0]))
+    return df
 
 
 DEC = "decimal(18,2)"
@@ -46,7 +99,7 @@ DEC = "decimal(18,2)"
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column stats in ONE scan: count/nulls/distinct/min/max/mean/stddev.
     Decimal partial sums make mean/stddev order-independent (exact)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
 
     def stats(c: str):
         x = F.col(c)
@@ -374,7 +427,7 @@ FROM c
 # --------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -452,7 +505,7 @@ SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, rank 
 # --------------------------------------------------------------------------
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     norm = tx.normalize_text(F.col("text"))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -480,7 +533,7 @@ EMB_DIM = 64
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     pairs = dd.ngram_jaccard_pairs(
         d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
     )
@@ -522,7 +575,7 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 
 
 def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     enriched = d.select(
         "lang",
         tx.ws_token_count(F.col("text")).alias("ws_tokens"),
@@ -558,7 +611,7 @@ FROM e GROUP BY lang
 
 
 def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return (
         d.select(tx.lang_id(F.col("text")).alias("detected_lang"))
         .groupBy("detected_lang")
@@ -598,7 +651,7 @@ TOPK_QUERY_MOD = 50
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -928,7 +981,7 @@ FROM media
 # --------------------------------------------------------------------------
 
 def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
@@ -974,7 +1027,7 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog banding (num_perm=64, bands=16 → r=4) a pair at jaccard s is
     banded with probability 1-(1-s^4)^16 ≈ 1 for the planted near-dups
     (s ≥ 0.95), so candidates+verify reproduce the exact pair set."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = dd.minhash_lsh_dedup(
         d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
     )
@@ -1024,7 +1077,7 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (component = min member id, n_members, sorted member_ids). The oracle
     recomputes the exact-Jaccard pair set in SQL and closes it with a
     recursive CTE — min-label transitive closure."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     pairs = dd.minhash_lsh_dedup(
         d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
     )
@@ -1063,12 +1116,12 @@ FROM labels GROUP BY component
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return dd.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     # dim=EMB_DIM: without it embedding_near_dup_pairs probes the vector
     # width with a first() — a full hidden execution of the upstream plan
     # at every call (VERDICT r02 §wrong 1)
@@ -1077,6 +1130,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no spread: the pre-exchange work here is one numpy-vectorized bucket
+    # UDF (light per row); measured, the extra exchange + 32-way Arrow
+    # fan-out costs more than the parallelism buys (0.69 s -> 1.19 s)
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1097,7 +1153,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitelist → quality floor."""
     from safedata_validator_spark.functions.pipeline import curate_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return curate_documents(
         d, "doc_id", "text",
         min_quality=CURATE_MIN_QUALITY, langs=CURATE_LANGS,
@@ -1205,7 +1261,7 @@ def q_curate_corpus_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive-CTE closure replacing the pairwise drop list."""
     from safedata_validator_spark.functions.pipeline import curate_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = curate_documents(
         d,
         "doc_id",
@@ -1238,7 +1294,7 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing ≥1 word n-gram with the eval slice, with the distinct
     contaminated-n-gram count. Eval n-gram hashes broadcast; the training
     side is never shuffled before the per-doc count."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     ev = d.where(F.col("source").isin(*DECON_EVAL_SOURCES))
     tr = d.where(~F.col("source").isin(*DECON_EVAL_SOURCES))
     out = dd.decontaminate(tr, ev, "doc_id", "text", n=DECON_N)
@@ -1274,7 +1330,7 @@ def q_pii_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed-length delta."""
     from safedata_validator_spark.functions import pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     injected = F.when(
         doc_id % 7 == 0,
@@ -1494,7 +1550,7 @@ def q_url_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     site1.com). Value-exact over every doc."""
     from safedata_validator_spark.functions import urls
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     doc_id = F.col("doc_id")
     injected = F.concat(
         F.col("text"),
@@ -1622,7 +1678,7 @@ def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local array arithmetic, zero shuffles. Value-exact over every doc."""
     from safedata_validator_spark.functions import repetition as rp
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return rp.repetition_profile(d, "doc_id", "text", ns=(2, 3)).withColumnRenamed(
         "id", "doc_id"
     )
@@ -1685,7 +1741,7 @@ def q_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/purepy_ref.py (DuckDB cannot express iterative pair merging)."""
     from safedata_validator_spark.functions.bpe import token_count_exact
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return token_count_exact(d, "doc_id", "text")
 
 
@@ -1721,7 +1777,7 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     span merge by gaps-and-islands."""
     from safedata_validator_spark.functions import spans as sps
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     out = sps.duplicated_spans(d, "doc_id", "text", n=SPAN_N)
     flat = (
         out.select(
@@ -1773,7 +1829,7 @@ def q_decon_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     live DuckDB oracle over the same window/merge semantics."""
     from safedata_validator_spark.functions import spans as sps
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     train = d.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
     ev = d.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
     out = sps.decontaminated_spans(train, ev, "doc_id", "text", n=SPAN_N)
@@ -1834,7 +1890,11 @@ def q_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with < 2 tokens have NULL cross_entropy in both engines."""
     from safedata_validator_spark.functions import lm_quality as lmq
 
-    d = _t(spark, sf_dir, "documents")
+    # spread=False: the per-doc avg(-log2 p) sums doubles in occurrence
+    # order, so the scan keeps its exact (unrepartitioned) lineage — a
+    # changed addition order could flip the 6th rounded decimal against
+    # the oracle (ADVICE r05 #4).
+    d = _t(spark, sf_dir, "documents", spread=False)
     out = lmq.bigram_cross_entropy(d, "doc_id", "text", lam=LM_LAM)
     flat = out.select(
         F.col("id").alias("doc_id"),
@@ -1877,7 +1937,7 @@ def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection): docs sharing ≥ min_common selected k-gram hashes. Explode +
     self equi-join on the fingerprint — the same scale shape as the shingle
     join, but over the winnowed (w× smaller) selection."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     # explode_OUTER: the plain explode triggers InferFiltersFromGenerate,
     # which pushes a size(...)>0 pre-filter below the projections with the
     # whole winnowing chain INLINED — re-evaluating the gram array per
@@ -2757,7 +2817,12 @@ SELECT 'mp4' AS container, * FROM ({SQL_MP4_FRAMES_AUDIT})
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours — the second ANN scale path beside
-    LSH (coarse k-means quantizer + inverted-list probing)."""
+    LSH (coarse k-means quantizer + inverted-list probing).
+
+    No scan spread here (and in ann_recall): the Lloyd centroid update
+    sums doubles in partition order, so a repartitioned scan could move
+    centroids by an ulp and flip a boundary assignment against the pinned
+    golden oracle — the same order-sensitivity exemption as lm_quality."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
