@@ -478,16 +478,23 @@ def fused_pairs_violations(
         F.lit(f"{group}="), F.coalesce(F.col(group).cast("string"), F.lit("∅")),
         F.lit(f"/{order}="), F.coalesce(F.col(order).cast("string"), F.lit("∅")),
     )
+    # explode_outer + IsNotNull on the generated attribute — same rationale
+    # as the validator's row-rule scan: a size(__v)>0 filter is predicate-
+    # pushed with the whole struct array substituted in (every check
+    # evaluated twice per pair), and a plain explode re-infers that filter
+    # via InferFiltersFromGenerate. Entity strings build post-explode, for
+    # violating pairs only.
     fused = pairs.select(
         F.col("__scope").cast("string").alias("__scope"),
-        entity.alias("__entity"),
-        F.array_compact(F.array(*structs)).alias("__v"),
-    ).where(F.size("__v") > 0)
-    return fused.select("__scope", "__entity", F.explode("__v").alias("v")).select(
+        F.col(group),
+        F.col(order),
+        F.explode_outer(F.array_compact(F.array(*structs))).alias("v"),
+    ).where(F.col("v").isNotNull())
+    return fused.select(
         F.col("v.rule_id").alias("rule_id"),
         F.col("v.severity").alias("severity"),
         F.col("__scope").alias("scope"),
-        F.col("__entity").alias("entity"),
+        entity.alias("entity"),
         F.col("v.column").alias("column"),
         F.col("v.value").alias("value"),
         F.col("v.message").alias("message"),

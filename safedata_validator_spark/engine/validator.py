@@ -81,18 +81,27 @@ class ValidationEngine:
             )
             for chk in checks
         ]
+        # explode_outer + post-generate null filter, NOT where(size(__v)>0)
+        # + explode: the size() filter gets predicate-pushed below the
+        # projection with the ENTIRE fused struct array substituted in, so
+        # every rule predicate and message expression evaluated TWICE per
+        # row (verified in the physical plan); a plain explode would
+        # re-create the same filter via InferFiltersFromGenerate (the
+        # winnow operator documents the same trap). The outer generate
+        # infers nothing, emits one null per clean row, and the IsNotNull
+        # filter on the GENERATED attribute cannot be pushed below the
+        # generate. Entity/scope strings are likewise built after the
+        # explode so the concat work runs only for violating rows.
         fused = df.select(
             F.expr(ruleset.scope).cast("string").alias("__scope"),
-            entity_col(ruleset.key_cols).alias("__entity"),
-            F.array_compact(F.array(*structs)).alias("__v"),
-        ).where(F.size("__v") > 0)
+            *[F.col(k) for k in ruleset.key_cols],
+            F.explode_outer(F.array_compact(F.array(*structs))).alias("v"),
+        ).where(F.col("v").isNotNull())
         return fused.select(
-            "__scope", "__entity", F.explode("__v").alias("v")
-        ).select(
             F.col("v.rule_id").alias("rule_id"),
             F.col("v.severity").alias("severity"),
             F.col("__scope").alias("scope"),
-            F.col("__entity").alias("entity"),
+            entity_col(ruleset.key_cols).alias("entity"),
             F.col("v.column").alias("column"),
             F.col("v.value").alias("value"),
             F.col("v.message").alias("message"),

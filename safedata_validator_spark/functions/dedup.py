@@ -270,14 +270,20 @@ def signatures_from_hash_arrays(packed: DataFrame, num_perm: int = 64) -> DataFr
     passes) — same xxhash64 evaluations, zero intermediate arrays. This is
     the measured in-box wide-level contention source behind the 10M minhash
     1→4 residual (BENCH/dedup_window_10M_r05_memprop_C.json: zero spill,
-    identical shuffle bytes, yet 0.685 raw)."""
-    max_long = F.lit(9223372036854775807)
+    identical shuffle bytes, yet 0.685 raw).
 
-    def fold(p):
-        return lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(p)))
-
-    sig = F.array(*[F.aggregate("hs", max_long, fold(p)) for p in range(num_perm)])
-    return packed.select("id", sig.alias("signature"))
+    Built as ONE parsed SQL expression, not num_perm ``F.aggregate``
+    lambdas: constructing 64 higher-order Columns through py4j costs a
+    measured 0.6 s of DRIVER time per call (pure Python/py4j chatter,
+    serialized before any task runs); one ``F.expr`` parse is one call.
+    The SQL text is the same expression tree — ``9223372036854775807L`` is
+    the Long.MAX seed, ``xxhash64(h, p)`` hashes the (bigint, int) pair
+    exactly as the Column form did — value-pinned by test."""
+    terms = ", ".join(
+        f"aggregate(hs, 9223372036854775807L, (acc, h) -> least(acc, xxhash64(h, {p})))"
+        for p in range(num_perm)
+    )
+    return packed.select("id", F.expr(f"array({terms})").alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -312,14 +318,17 @@ def lsh_candidate_pairs(
     # bucket id = hash of (band index, the band's signature slots) DIRECTLY
     # (xxhash64 is variadic over longs) — no per-band string rendering; the
     # band index inside the hash keeps bands from cross-matching, so a
-    # single 8-byte groupBy key replaces the (band, bucket) composite
+    # single 8-byte groupBy key replaces the (band, bucket) composite.
+    # Parsed SQL, not per-band Column chains — same py4j-chatter economy
+    # as signatures_from_hash_arrays.
     buckets_of = [
-        F.xxhash64(
-            F.lit(b),
-            *[
-                F.element_at("signature", b * rows_per_band + r + 1)
+        F.expr(
+            f"xxhash64({b}, "
+            + ", ".join(
+                f"element_at(signature, {b * rows_per_band + r + 1})"
                 for r in range(rows_per_band)
-            ],
+            )
+            + ")"
         )
         for b in range(bands)
     ]
@@ -544,52 +553,72 @@ def connected_components(
         prev_cp_ids = new_ids
         return out, state
 
-    # normalize: (hi > lo), no self-loops, distinct
+    # normalize: (hi > lo), no self-loops, distinct. The checkpoint is lazy
+    # with the (count, checksum) state as the materializing action, so the
+    # edge count is known for free — it both seeds the convergence state
+    # (an input that is already a fixpoint star set converges one round
+    # earlier) and sizes the loop's shuffles below.
     a, b = F.col(id_a), F.col(id_b)
-    e, _ = _ckpt(
+    e, state0 = _ckpt(
         pairs.select(F.greatest(a, b).alias("hi"), F.least(a, b).alias("lo"))
         .where(F.col("hi") != F.col("lo"))
-        .distinct()
+        .distinct(),
+        with_state=True,
     )
-    prev = (-1, None)
-    rounds = 0
-    for _ in range(max_iterations):
-        # large-star: every node u links its LARGER neighbours to
-        # m = min(neighbours(u) ∪ {u}) — hubs fan out, never in
-        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
-            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        large = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(
-                F.col("v").alias("hi"),
-                F.least(F.col("u"), F.col("mv")).alias("lo"),
+    # Size the contraction rounds' shuffle partitions from the measured
+    # edge volume (~24 B per (hi, lo) row, ≥8 MB per reduce partition):
+    # the per-round groupBys/joins/distincts execute through the RDD
+    # checkpoint path, which gets NO AQE coalescing, so a tiny edge set
+    # at the session default (cores) pays dozens of empty-task stage
+    # launches per round. Data-derived, never the core count — a 10M-edge
+    # graph keeps the session default. Restored after the loop; the
+    # returned frame plans under the caller's conf.
+    spark = pairs.sparkSession
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    k = max(1, min(int(orig_parts), int(state0[0] or 0) * 24 // (8 << 20) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(k))
+    try:
+        prev = (state0[0], state0[1])
+        rounds = 0
+        for _ in range(max_iterations):
+            # large-star: every node u links its LARGER neighbours to
+            # m = min(neighbours(u) ∪ {u}) — hubs fan out, never in
+            sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+                e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
             )
-            .distinct()
-        )
-        # small-star: on the (hi > lo) edges, u re-points its smaller
-        # neighbours (and itself) at m = min of its smaller neighbourhood
-        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
-        withm = large.join(mins2, "hi")
-        small = (
-            withm.select(F.col("hi"), F.col("m").alias("lo"))
-            .unionByName(
-                withm.where(F.col("lo") != F.col("m")).select(
-                    F.col("lo").alias("hi"), F.col("m").alias("lo")
+            mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+            large = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("hi"),
+                    F.least(F.col("u"), F.col("mv")).alias("lo"),
                 )
+                .distinct()
             )
-            .distinct()
-        )
-        # converged when the edge set is stable: (count, order-insensitive
-        # checksum). The lazy-checkpoint + state aggregate is ONE job per
-        # round; no driver collect of rows.
-        e, state = _ckpt(small, with_state=True)
-        rounds += 1
-        if (state[0], state[1]) == prev:
-            break
-        prev = (state[0], state[1])
+            # small-star: on the (hi > lo) edges, u re-points its smaller
+            # neighbours (and itself) at m = min of its smaller neighbourhood
+            mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+            withm = large.join(mins2, "hi")
+            small = (
+                withm.select(F.col("hi"), F.col("m").alias("lo"))
+                .unionByName(
+                    withm.where(F.col("lo") != F.col("m")).select(
+                        F.col("lo").alias("hi"), F.col("m").alias("lo")
+                    )
+                )
+                .distinct()
+            )
+            # converged when the edge set is stable: (count, order-insensitive
+            # checksum). The lazy-checkpoint + state aggregate is ONE job per
+            # round; no driver collect of rows.
+            e, state = _ckpt(small, with_state=True)
+            rounds += 1
+            if (state[0], state[1]) == prev:
+                break
+            prev = (state[0], state[1])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint: every edge points a member directly at its component root
@@ -656,20 +685,24 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .where(F.col("tok") != "")
         .select("id", F.xxhash64("tok").alias("h"))
     )
+    # single-parse SQL expressions, not 64 when()-chains through py4j:
+    # Column-by-Column construction of the 64 vote sums + the 64-term OR
+    # chain measured 1.1 s of DRIVER time per call (serialized before any
+    # task runs); two F.expr parses build the identical expression trees.
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {bit}) & 1) = 1 THEN 1 ELSE -1 END)"
             ).alias(f"b{bit}")
             for bit in range(64)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for bit in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("id", sig.alias("simhash"))
+    sig = " | ".join(
+        f"(CASE WHEN b{bit} > 0 THEN shiftleft(CAST(1 AS BIGINT), {bit}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(64)
+    )
+    return votes.select("id", F.expr(sig).alias("simhash"))
 
 
 def simhash_near_pairs(
