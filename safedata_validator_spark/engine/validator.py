@@ -352,13 +352,17 @@ class ValidationEngine:
                 width += 16
         return max(width, 64)
 
-    def _localize(self, agg: DataFrame) -> tuple[DataFrame, bool]:
+    def _localize(self, agg: DataFrame) -> tuple[DataFrame, bool, list | None]:
         """Materialize a (by-design tiny) aggregate as a driver-local table so
         every downstream consumer reads rows, never the build plan. Falls back
         to a persisted distributed plan when the aggregate exceeds the row or
         byte cap. The plan is persisted BEFORE the probing collect, so the
         fallback's first consumer reuses the already-computed partitions
-        instead of recomputing the whole aggregation."""
+        instead of recomputing the whole aggregation. Also returns the
+        collected rows on the local path so callers that need driver-side
+        values (the sequential fast path's order maxima) read them directly
+        instead of re-collect()ing the local table — which runs one more
+        (pointless) local job per consumer."""
         cap = min(
             self.localize_cap,
             max(1, self.localize_bytes_cap // self._est_row_width(agg.schema)),
@@ -366,9 +370,9 @@ class ValidationEngine:
         plan = agg.persist()
         rows = plan.limit(cap + 1).collect()
         if len(rows) > cap:
-            return plan, False
+            return plan, False, None
         plan.unpersist()
-        return agg.sparkSession.createDataFrame(rows, agg.schema), True
+        return agg.sparkSession.createDataFrame(rows, agg.schema), True, rows
 
     def validate(
         self,
@@ -469,20 +473,22 @@ class ValidationEngine:
                 if cat_cols
                 else None
             )
-            scope_agg, was_local = scope_fut.result()
+            scope_agg, was_local, scope_rows_local = scope_fut.result()
             cached = [] if was_local else [scope_agg]
             shared: dict[str, DataFrame] = {"scope_agg": scope_agg}
             if was_local and seq_orders:
+                # read the maxima from the ALREADY-collected rows — a
+                # .collect() on the local table would run one more job
                 shared["order_max"] = {
                     o: max(
-                        (r[f"__seqmax_{o}"] for r in scope_agg.collect()
+                        (r[f"__seqmax_{o}"] for r in scope_rows_local
                          if r[f"__seqmax_{o}"] is not None),
                         default=None,
                     )
                     for o in seq_orders
                 }
             if cat_fut is not None:
-                cat_counts, cat_local = cat_fut.result()
+                cat_counts, cat_local, _ = cat_fut.result()
                 shared["cat_counts"] = cat_counts
                 if not cat_local:
                     cached.append(cat_counts)

@@ -447,35 +447,39 @@ def minhash_lsh_dedup(
     caches = caches + tuple(getattr(cand, "_sdv_cached", ()))
     cand = cand.persist()
     # semi-filter down to candidate-pair MEMBERS before any verify work —
-    # on the COMPACT packed table (|docs| rows), exploding only the
-    # members afterwards: without this, both verify hops and the sizes agg
-    # each shuffle the full |shingles| table to serve a candidate set many
-    # orders of magnitude smaller (measured: 50s → ~7s of a 100s pipeline
-    # at 1M docs). Explicit broadcast — AQE cannot replan a cached-scan
-    # probe side (no exchange = no stage boundary); the member list is
+    # on the COMPACT packed table (|docs| rows): without this, the verify
+    # joins shuffle the full corpus to serve a candidate set many orders
+    # of magnitude smaller (measured: 50s → ~7s of a 100s pipeline at 1M
+    # docs). Explicit broadcast — AQE cannot replan a cached-scan probe
+    # side (no exchange = no stage boundary); the member list is
     # 2×|candidate pairs| ids, bounded by the near-dup volume, not the
     # corpus.
     members = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     packed_c = packed.join(F.broadcast(members), "id", "left_semi")
-    # sizes are a row-local projection of the packed array — the former
-    # per-id count aggregation is gone
-    sizes = packed_c.select("id", F.size("hs").cast("bigint").alias("n_sh"))
-    sh_c = packed_c.select("id", F.explode("hs").alias("__h")).persist()
-    # equi-join on (id, __h) both hops — the shingle hash is IN the join
-    # key, so each candidate pair costs |A∩B| joined rows, not |A|×|B|
-    common = (
-        cand.join(sh_c.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh_c.withColumnRenamed("id", "id_b"), ["id_b", "__h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # verify each pair ROW-LOCALLY over the members' compact hash arrays:
+    # two array-attaching joins + array_intersect replace the former
+    # exploded-shingle double join hop + count groupBy + two size joins.
+    # Same bytes cross the exchange (a doc's shingles move once per pair
+    # either way — as ONE array row here instead of |shingles| exploded
+    # rows), but the per-pair intersection needs no shuffle, no
+    # aggregation state and no second cached table; sizes are row-local
+    # size(hs). n_common = |A∩B| is identical — the arrays hold each
+    # doc's DISTINCT shingle hashes by construction.
     j = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        cand.join(
+            packed_c.select(F.col("id").alias("id_a"), F.col("hs").alias("__hs_a")),
+            "id_a",
+        ).join(
+            packed_c.select(F.col("id").alias("id_b"), F.col("hs").alias("__hs_b")),
+            "id_b",
+        )
     )
+    n_common = F.size(F.array_intersect("__hs_a", "__hs_b")).cast("bigint")
+    n_a = F.size("__hs_a").cast("bigint")
+    n_b = F.size("__hs_b").cast("bigint")
+    j = j.withColumn("jaccard", n_common / (n_a + n_b - n_common))
     out = j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
-    return _hand_off_cache(out, caches + (cand, sh_c))
+    return _hand_off_cache(out, caches + (cand,))
 
 
 def connected_components(
