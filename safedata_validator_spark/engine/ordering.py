@@ -478,23 +478,21 @@ def fused_pairs_violations(
         F.lit(f"{group}="), F.coalesce(F.col(group).cast("string"), F.lit("∅")),
         F.lit(f"/{order}="), F.coalesce(F.col(order).cast("string"), F.lit("∅")),
     )
-    # explode_outer + IsNotNull on the generated attribute — same rationale
-    # as the validator's row-rule scan: a size(__v)>0 filter is predicate-
-    # pushed with the whole struct array substituted in (every check
-    # evaluated twice per pair), and a plain explode re-infers that filter
-    # via InferFiltersFromGenerate. Entity strings build post-explode, for
-    # violating pairs only.
+    # Shape note: where(size)+explode kept deliberately — see the identical
+    # adjudication in validator._row_violations (the explode_outer
+    # "evaluate once" variant drops the Generate out of codegen and costs
+    # 2-3× at 4M turns; the pushed size filter runs codegen'd and the
+    # projection above it computes entity/__v for surviving pairs only).
     fused = pairs.select(
         F.col("__scope").cast("string").alias("__scope"),
-        F.col(group),
-        F.col(order),
-        F.explode_outer(F.array_compact(F.array(*structs))).alias("v"),
-    ).where(F.col("v").isNotNull())
-    return fused.select(
+        entity.alias("__entity"),
+        F.array_compact(F.array(*structs)).alias("__v"),
+    ).where(F.size("__v") > 0)
+    return fused.select("__scope", "__entity", F.explode("__v").alias("v")).select(
         F.col("v.rule_id").alias("rule_id"),
         F.col("v.severity").alias("severity"),
         F.col("__scope").alias("scope"),
-        entity.alias("entity"),
+        F.col("__entity").alias("entity"),
         F.col("v.column").alias("column"),
         F.col("v.value").alias("value"),
         F.col("v.message").alias("message"),

@@ -81,27 +81,28 @@ class ValidationEngine:
             )
             for chk in checks
         ]
-        # explode_outer + post-generate null filter, NOT where(size(__v)>0)
-        # + explode: the size() filter gets predicate-pushed below the
-        # projection with the ENTIRE fused struct array substituted in, so
-        # every rule predicate and message expression evaluated TWICE per
-        # row (verified in the physical plan); a plain explode would
-        # re-create the same filter via InferFiltersFromGenerate (the
-        # winnow operator documents the same trap). The outer generate
-        # infers nothing, emits one null per clean row, and the IsNotNull
-        # filter on the GENERATED attribute cannot be pushed below the
-        # generate. Entity/scope strings are likewise built after the
-        # explode so the concat work runs only for violating rows.
+        # Shape note (measured this round, A/B at 4M turns): keep the
+        # where(size(__v) > 0) + explode formulation. The pushed-down size
+        # filter does inline the whole struct array into a Filter below the
+        # projection, but that filter runs INSIDE whole-stage codegen over
+        # all rows, and the projection + generate above it then compute
+        # entity/__v for the (rare) surviving rows only. The tempting
+        # "evaluate once" rewrite — explode_outer + IsNotNull on the
+        # generated attribute — disables codegen for the Generate (outer
+        # generates don't codegen), so the whole battery evaluates
+        # interpreted: flagship 12-13 s → 22-34 s. Reverted.
         fused = df.select(
             F.expr(ruleset.scope).cast("string").alias("__scope"),
-            *[F.col(k) for k in ruleset.key_cols],
-            F.explode_outer(F.array_compact(F.array(*structs))).alias("v"),
-        ).where(F.col("v").isNotNull())
+            entity_col(ruleset.key_cols).alias("__entity"),
+            F.array_compact(F.array(*structs)).alias("__v"),
+        ).where(F.size("__v") > 0)
         return fused.select(
+            "__scope", "__entity", F.explode("__v").alias("v")
+        ).select(
             F.col("v.rule_id").alias("rule_id"),
             F.col("v.severity").alias("severity"),
             F.col("__scope").alias("scope"),
-            entity_col(ruleset.key_cols).alias("entity"),
+            F.col("__entity").alias("entity"),
             F.col("v.column").alias("column"),
             F.col("v.value").alias("value"),
             F.col("v.message").alias("message"),
