@@ -148,6 +148,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    adaptive_cut: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥
     threshold → (id_a, id_b, n_common, n_a, n_b, jaccard)."""
@@ -168,10 +169,22 @@ def ngram_jaccard_pairs(
     caches: tuple[DataFrame, ...] = (sh_raw,)
     if max_df is not None:
         hot = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
-        # persist the cut table: sizes and both self-join sides read it as
-        # separate cache hits instead of each re-running the hot-list agg
-        sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti").persist()
-        caches = caches + (sh,)
+        # adaptive_cut (same contract as minhash_lsh_dedup): one bounded
+        # probe job — which must aggregate the shingle table anyway and so
+        # also pre-materializes the sh_raw cache — proves the cut a no-op
+        # and skips the anti-join plus the SECOND full-shingle cache. The
+        # default stays False: catalog plan-building must stay job-free
+        # unless the entry is listed EAGER_BY_DESIGN.
+        cut = True
+        if adaptive_cut:
+            hot = hot.persist()
+            caches = caches + (hot,)
+            cut = hot.limit(1).count() > 0
+        if cut:
+            # persist the cut table: sizes and both self-join sides read it
+            # as separate cache hits instead of each re-running the hot cut
+            sh = sh.join(F.broadcast(hot.select("__h")), "__h", "left_anti").persist()
+            caches = caches + (sh,)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -534,8 +534,11 @@ EMB_DIM = 64
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents", spread=True)
+    # adaptive_cut: bounded probe, skips the no-op anti-join + second
+    # full-shingle cache (EAGER_BY_DESIGN entry, see minhash_lsh_docs)
     pairs = dd.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_df=SHINGLE_MAX_DF, adaptive_cut=True,
     )
     return dd.carry(
         pairs,
@@ -1028,8 +1031,15 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded with probability 1-(1-s^4)^16 ≈ 1 for the planted near-dups
     (s ≥ 0.95), so candidates+verify reproduce the exact pair set."""
     d = _t(spark, sf_dir, "documents", spread=True)
+    # adaptive_cut: one bounded probe job proves the max_df cut a no-op
+    # (zero shingles exceed df=20 on this corpus — measured) and skips the
+    # |shingles|-row repack shuffle + second cache entirely; the probe
+    # also materializes the compact-array cache up front, so the later
+    # concurrent AQE stages read it instead of racing to compute it.
+    # Catalog entry is EAGER_BY_DESIGN for this (tests/test_plans.py).
     out = dd.minhash_lsh_dedup(
-        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_df=SHINGLE_MAX_DF, adaptive_cut=True,
     )
     return dd.carry(
         out, out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1079,7 +1089,8 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE — min-label transitive closure."""
     d = _t(spark, sf_dir, "documents", spread=True)
     pairs = dd.minhash_lsh_dedup(
-        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=SHINGLE_MAX_DF
+        d, "doc_id", "text", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_df=SHINGLE_MAX_DF, adaptive_cut=True,
     )
     out = dd.dup_clusters(pairs)
     # member list rendered as CSV: engines disagree on array cell rendering

@@ -414,6 +414,31 @@ def test_build_binomial(spark, higher, lower, tri, expected):
     assert row["nm"] == expected
 
 
+def test_minhash_intersect_verify_matches_exact_jaccard(spark):
+    """The row-local array_intersect verification (r6: replaces the
+    exploded-shingle join hops + count groupBy + size joins) must report
+    the identical (pair, jaccard) set as the exact shingle-join
+    computation, INCLUDING under a biting max_df cut where the repack
+    rebuilds hs arrays in arbitrary collect_list order — the intersection
+    count is order-insensitive by construction."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta common run " + ("x " * (i % 3)) + f"tail{i // 4}")
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for max_df in (None, 6):
+        lsh = dd.minhash_lsh_dedup(docs, "doc_id", "text", n=3, threshold=0.2, max_df=max_df)
+        exact = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_df=max_df)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh.collect()}
+        ref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+        dd.release(lsh)
+        dd.release(exact)
+        # every LSH-reported pair must carry the exact jaccard; banding may
+        # only MISS pairs, never fabricate or mis-score them
+        for k, v in got.items():
+            assert ref[k] == pytest.approx(v), (max_df, k)
+        # at these similarities the planted near-dup families band together
+        assert got, f"no pairs found at max_df={max_df}"
+
+
 def test_minhash_adaptive_cut_matches_default(spark, docs):
     """adaptive_cut=True (scale path: skip the repack shuffle when the hot
     list is provably empty) must return exactly the default path's pairs —

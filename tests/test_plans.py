@@ -219,6 +219,11 @@ def test_ann_plan_building_triggers_no_jobs(spark):
 #:     and returns the materialized emissions (the POINT of the gate);
 #:   ann_recall — includes the IVF path (k-means training, as above).
 EAGER_BY_DESIGN = {
+    "minhash_lsh_docs",  # adaptive_cut probe: one bounded job proves the
+    #   max_df cut a no-op and skips the |shingles|-row repack shuffle;
+    #   the probe also pre-materializes the compact-array cache (r6)
+    "dedup_ngram_jaccard",  # same adaptive_cut probe (r6): skips the
+    #   no-op anti-join + the second full-shingle cache
     "transcript_verdicts",
     "hierarchy_closure",
     "hierarchy_congruence_events",
@@ -418,3 +423,21 @@ def test_url_blocklist_filter_broadcasts_both_sides(spark):
     assert "SortMergeJoin" not in plan
     audit_plan = _physical(urls.url_audit(docs, "doc_id", "text"))
     assert "Exchange" not in audit_plan
+
+
+def test_small_scan_spread_restores_parallelism(spark):
+    """r6 scan-parallelism guard: a compute-dense catalog query over a
+    single-split table must plan a hash repartition to the session's
+    parallelism right above the scan (the single-row-group sf files
+    otherwise serialize the heavy projections onto one task), while
+    opt-out queries keep the bare scan."""
+    from safedata_validator_spark.queries import _t
+
+    sf = "/root/testdata/sf0.1"  # sf0.001 documents is under the 128 KB
+    # guard threshold (tiny tables skip the exchange by design)
+    n = spark.sparkContext.defaultParallelism
+    spread = _t(spark, sf, "documents", spread=True)
+    assert spread.rdd.getNumPartitions() >= n
+    assert "hashpartitioning" in _physical(spread)
+    bare = _t(spark, sf, "documents")
+    assert "Exchange" not in _physical(bare)
