@@ -291,7 +291,12 @@ def signatures_from_hash_arrays(packed: DataFrame, num_perm: int = 64) -> DataFr
     serialized before any task runs); one ``F.expr`` parse is one call.
     The SQL text is the same expression tree — ``9223372036854775807L`` is
     the Long.MAX seed, ``xxhash64(h, p)`` hashes the (bigint, int) pair
-    exactly as the Column form did — value-pinned by test."""
+    exactly as the Column form did — value-pinned by test.
+
+    PRECONDITION (ADVICE r05): ``hs`` must be non-empty — an empty array
+    folds to the Long.MAX seed in every slot, i.e. a well-formed signature
+    that would band all empty docs together as near-duplicates. Every
+    in-repo caller filters ``size(hs) > 0`` first; do the same."""
     terms = ", ".join(
         f"aggregate(hs, 9223372036854775807L, (acc, h) -> least(acc, xxhash64(h, {p})))"
         for p in range(num_perm)

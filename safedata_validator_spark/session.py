@@ -162,7 +162,9 @@ def tune_scan_splits(
     for p in paths:
         for root, _dirs, files in os.walk(p):
             for f in files:
-                if not f.startswith("_"):
+                # skip metadata AND hidden files: local-FS .crc checksums
+                # would otherwise inflate the byte total (ADVICE r05)
+                if not f.startswith(("_", ".")):
                     total += os.path.getsize(os.path.join(root, f))
     split = min(max(total // target_splits, floor_bytes), ceil_bytes)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
