@@ -95,44 +95,58 @@ def profile_aggs(
     numeric/temporal fields only (field.py:1821-1831, 2120-2131) and keeps
     just the counter battery for text (field.py:1361-1415). Distinct-count
     HLL sketches stay on for every column (the north rule asks for them)."""
+    # Aggregates are built as parsed SQL snippets (one F.expr per agg, the
+    # r6 py4j-chatter economy — see dedup.signatures_from_hash_arrays):
+    # Column-by-Column construction of the ~12 aggs × N columns measured
+    # 0.35 s of pure driver time per validate() call. The SQL text encodes
+    # the identical expression trees (D-suffixed double literals for the
+    # percentile array; CAST NULLs for the type-matched placeholders) —
+    # values pinned by tests/test_profiler_drift.py.
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in columns:
         dt = fields[c]
-        col = F.col(c)
+        q = f"`{c}`"
         is_str = isinstance(dt, T.StringType)
         is_num = _is_numeric(dt)
+        na = na_sentinel.replace("'", "''")
 
-        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
-        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"))
+        def e(sql: str, alias: str):
+            aggs.append(F.expr(sql).alias(f"{c}__{alias}"))
+
+        e("count(1)", "n")
+        e(f"sum(CASE WHEN ({q} IS NULL) THEN 1 ELSE 0 END)", "n_null")
         if is_str:
-            aggs.append(
-                F.sum(F.when(col.isNotNull() & (F.trim(col) == ""), 1).otherwise(0)).alias(
-                    f"{c}__n_blank"
-                )
+            e(
+                f"sum(CASE WHEN (({q} IS NOT NULL) AND (trim({q}) = '')) "
+                "THEN 1 ELSE 0 END)",
+                "n_blank",
             )
-            aggs.append(F.sum(F.when(col == na_sentinel, 1).otherwise(0)).alias(f"{c}__n_na"))
+            e(f"sum(CASE WHEN ({q} = '{na}') THEN 1 ELSE 0 END)", "n_na")
         else:
-            aggs.append(F.lit(0).cast("long").alias(f"{c}__n_blank"))
-            aggs.append(F.lit(0).cast("long").alias(f"{c}__n_na"))
+            e("CAST(0 AS BIGINT)", "n_blank")
+            e("CAST(0 AS BIGINT)", "n_na")
         if isinstance(dt, T.TimestampType):
             # date-vs-datetime discrimination (reference 'all midnight'
             # detection, field.py:2099-2118): zero non-midnight values means
             # the column is really a date
-            nonmid = (F.hour(col) != 0) | (F.minute(col) != 0) | (F.second(col) != 0)
-            aggs.append(F.sum(F.when(nonmid, 1).otherwise(0)).alias(f"{c}__n_nonmidnight"))
+            e(
+                f"sum(CASE WHEN (((hour({q}) != 0) OR (minute({q}) != 0)) "
+                f"OR (second({q}) != 0)) THEN 1 ELSE 0 END)",
+                "n_nonmidnight",
+            )
         else:
-            aggs.append(F.lit(None).cast("long").alias(f"{c}__n_nonmidnight"))
+            e("CAST(NULL AS BIGINT)", "n_nonmidnight")
         if approx_distinct:
-            aggs.append(F.approx_count_distinct(col).alias(f"{c}__n_distinct"))
+            e(f"approx_count_distinct({q})", "n_distinct")
         else:
-            aggs.append(F.count_distinct(col).alias(f"{c}__n_distinct"))
+            e(f"count(DISTINCT {q})", "n_distinct")
         if is_str and not string_minmax:
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
-            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+            e("CAST(NULL AS STRING)", "min")
+            e("CAST(NULL AS STRING)", "max")
         else:
-            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+            e(f"CAST(min({q}) AS STRING)", "min")
+            e(f"CAST(max({q}) AS STRING)", "max")
         if is_num:
             # relative_error 0.01 (sketch accuracy 100): the Greenwald-Khanna
             # build cost grows with accuracy and measured ~4s per numeric
@@ -140,17 +154,18 @@ def profile_aggs(
             # shared per-scope aggregate. 1%-relative quantiles are the
             # standard profiling grade; pass a smaller relative_error where
             # a rule genuinely needs tighter percentiles.
-            aggs.append(F.avg(col.cast("double")).alias(f"{c}__mean"))
-            aggs.append(F.stddev_samp(col.cast("double")).alias(f"{c}__stddev"))
-            aggs.append(
-                F.percentile_approx(
-                    col.cast("double"), F.array(*[F.lit(q) for q in quantiles]), int(1.0 / relative_error)
-                ).alias(f"{c}__quantiles")
+            qs = ", ".join(f"{x!r}D" for x in quantiles)
+            e(f"avg(CAST({q} AS DOUBLE))", "mean")
+            e(f"stddev_samp(CAST({q} AS DOUBLE))", "stddev")
+            e(
+                f"percentile_approx(CAST({q} AS DOUBLE), array({qs}), "
+                f"{int(1.0 / relative_error)})",
+                "quantiles",
             )
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
-            aggs.append(F.lit(None).cast("double").alias(f"{c}__stddev"))
-            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__quantiles"))
+            e("CAST(NULL AS DOUBLE)", "mean")
+            e("CAST(NULL AS DOUBLE)", "stddev")
+            e("CAST(NULL AS ARRAY<DOUBLE>)", "quantiles")
     return aggs
 
 
@@ -158,25 +173,20 @@ def profile_long(wide: DataFrame, columns: list[str]) -> DataFrame:
     """Unpivot the wide one-row-per-scope aggregate (column names as produced
     by ``profile_aggs``, scope column ``__scope``) into the long
     (scope, column, metric...) profile shape — driver-free explode."""
-    per_col_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"{c}__n").alias("n"),
-                F.col(f"{c}__n_null").alias("n_null"),
-                F.col(f"{c}__n_blank").alias("n_blank"),
-                F.col(f"{c}__n_na").alias("n_na"),
-                F.col(f"{c}__n_distinct").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
-                F.col(f"{c}__mean").alias("mean"),
-                F.col(f"{c}__stddev").alias("stddev"),
-                F.col(f"{c}__quantiles").alias("quantiles"),
-                F.col(f"{c}__n_nonmidnight").alias("n_nonmidnight"),
-            )
-            for c in columns
-        ]
-    )
+    # one parsed expression (vs N struct() Column builds) — same tree
+    def struct_of(c: str) -> str:
+        cq = c.replace("'", "''")
+        return (
+            f"named_struct('column', '{cq}', 'n', `{c}__n`, "
+            f"'n_null', `{c}__n_null`, 'n_blank', `{c}__n_blank`, "
+            f"'n_na', `{c}__n_na`, 'n_distinct', `{c}__n_distinct`, "
+            f"'min_value', `{c}__min`, 'max_value', `{c}__max`, "
+            f"'mean', `{c}__mean`, 'stddev', `{c}__stddev`, "
+            f"'quantiles', `{c}__quantiles`, "
+            f"'n_nonmidnight', `{c}__n_nonmidnight`)"
+        )
+
+    per_col_structs = F.expr("array(" + ", ".join(struct_of(c) for c in columns) + ")")
     return wide.select(
         F.col("__scope").alias("scope"), F.explode(per_col_structs).alias("s")
     ).select("scope", "s.*")
