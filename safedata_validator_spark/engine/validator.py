@@ -474,6 +474,14 @@ class ValidationEngine:
                 if cat_cols
                 else None
             )
+            # overlap: the fused row-rule scan consumes nothing from the
+            # shared aggregates, so its (py4j-bound) plan construction runs
+            # on the main thread WHILE the two aggregate jobs execute —
+            # py4j is connection-per-thread, so driver-side building and
+            # JVM job execution proceed concurrently
+            early_parts: list[DataFrame] = []
+            if row_rules:
+                early_parts.append(self._row_violations(df, ruleset, row_rules))
             scope_agg, was_local, scope_rows_local = scope_fut.result()
             cached = [] if was_local else [scope_agg]
             shared: dict[str, DataFrame] = {"scope_agg": scope_agg}
@@ -494,9 +502,7 @@ class ValidationEngine:
                 if not cat_local:
                     cached.append(cat_counts)
 
-        parts: list[DataFrame] = []
-        if row_rules:
-            parts.append(self._row_violations(df, ruleset, row_rules))
+        parts: list[DataFrame] = list(early_parts)
         parts.extend(self._plan_violations(df, ruleset, plan_rules, dims, shared))
         viols = (
             reduce(lambda a, b: a.unionByName(b), parts)
